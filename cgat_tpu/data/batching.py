@@ -1,0 +1,178 @@
+"""Static-shape batched crystal graphs (struct-of-arrays).
+
+Replaces the reference's dynamic PyG ``Batch.from_data_list`` +
+``collate_batch`` (reference: CGAT/lightning_module.py:199-202,
+CGAT/roost_message.py:400-458) with padded/bucketed arrays whose shapes are
+static under ``jit``:
+
+* nodes + edges of all crystals concatenated with index offsetting,
+* edge arrays **sorted by destination node** so segment reductions see sorted
+  ids (TPU scatter fast path),
+* the roost composition graph stored **dense per crystal** ``(C, R, ...)``
+  instead of edge lists — the composition graph is complete over the distinct
+  elements of a crystal (reference data.py:90-96), so with R padded slots all
+  pair interactions become masked dense ``(C, R, R)`` MXU work.
+
+Padding protocol: padded nodes/edges/slots are masked; padded edges point at
+node slot ``num_node_slots - 1`` and padded nodes belong to graph slot
+``num_graphs - 1`` — always masked in reductions so they contribute zero.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Sequence
+
+import numpy as np
+import jax.numpy as jnp
+from flax import struct
+
+
+@struct.dataclass
+class CrystalBatch:
+    """One batch of crystal graphs with static shapes.
+
+    Shapes: N node slots, E edge slots, C graph slots, R composition slots.
+    """
+    # structure graph
+    nodes: jnp.ndarray        # f32 (N, orig_fea)  atom features (matscholar)
+    node_mask: jnp.ndarray    # bool (N,)
+    node2graph: jnp.ndarray   # i32 (N,) sorted crystal id per node
+    edge_src: jnp.ndarray     # i32 (E,) source node ("self_fea_idx")
+    edge_dst: jnp.ndarray     # i32 (E,) destination node ("nbr_fea_idx"), sorted
+    edge_shell: jnp.ndarray   # i32 (E,) distance-shell index (1..max_nbr)
+    edge_mask: jnp.ndarray    # bool (E,)
+    # composition (roost) graph, dense per crystal
+    comp_fea: jnp.ndarray     # f32 (C, R, orig_fea) distinct-element features
+    comp_weight: jnp.ndarray  # f32 (C, R) fractional weights
+    comp_mask: jnp.ndarray    # bool (C, R)
+    # targets
+    target: jnp.ndarray       # f32 (C,) training target (already y = per-atom * n_atoms)
+    graph_mask: jnp.ndarray   # bool (C,)
+
+    @property
+    def num_node_slots(self) -> int:
+        return self.nodes.shape[0]
+
+    @property
+    def num_graphs(self) -> int:
+        return self.target.shape[0]
+
+    @property
+    def num_edge_slots(self) -> int:
+        return self.edge_src.shape[0]
+
+
+@dataclasses.dataclass
+class CrystalGraph:
+    """Host-side featurised crystal (numpy). One entry of a prepared dataset."""
+    atom_fea: np.ndarray      # (n, orig_fea) f32
+    edge_src: np.ndarray      # (n*k,) i32   self_fea_idx
+    edge_dst: np.ndarray      # (n*k,) i32   nbr_fea_idx
+    edge_shell: np.ndarray    # (n*k,) i32
+    comp_fea: np.ndarray      # (r, orig_fea) f32 distinct elements
+    comp_weight: np.ndarray   # (r,) f32
+    target: float             # per-crystal training target (already scaled)
+    cry_id: object = None
+    composition: str = ""
+
+    @property
+    def n_atoms(self) -> int:
+        return self.atom_fea.shape[0]
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def pad_to_bucket(n: int, multiple: int = 64) -> int:
+    """Round a size up to the padding bucket (limits recompilation)."""
+    return max(multiple, _round_up(n, multiple))
+
+
+def collate(graphs: Sequence[CrystalGraph],
+            *,
+            num_graphs: int | None = None,
+            num_node_slots: int | None = None,
+            num_comp_slots: int | None = None,
+            max_nbr: int = 24,
+            node_bucket: int = 64,
+            orig_fea: int | None = None) -> CrystalBatch:
+    """Build a static-shape :class:`CrystalBatch` from host graphs.
+
+    Mirrors the index-offsetting of the reference collate fns
+    (roost_message.py:435-452) then sorts edges by destination and pads.
+    """
+    C = num_graphs if num_graphs is not None else len(graphs)
+    assert len(graphs) <= C, "more graphs than slots"
+    n_real_nodes = sum(g.n_atoms for g in graphs)
+    N = num_node_slots if num_node_slots is not None else pad_to_bucket(
+        n_real_nodes, node_bucket)
+    assert n_real_nodes <= N
+    E = N * max_nbr
+    R = num_comp_slots if num_comp_slots is not None else max(
+        (g.comp_fea.shape[0] for g in graphs), default=1)
+    F = orig_fea if orig_fea is not None else (
+        graphs[0].atom_fea.shape[1] if graphs else 200)
+
+    nodes = np.zeros((N, F), np.float32)
+    node_mask = np.zeros((N,), bool)
+    node2graph = np.full((N,), C - 1, np.int32)
+    src_l, dst_l, shell_l = [], [], []
+    comp_fea = np.zeros((C, R, F), np.float32)
+    comp_weight = np.zeros((C, R), np.float32)
+    comp_mask = np.zeros((C, R), bool)
+    target = np.zeros((C,), np.float32)
+    graph_mask = np.zeros((C,), bool)
+
+    base = 0
+    for gi, g in enumerate(graphs):
+        n = g.n_atoms
+        nodes[base:base + n] = g.atom_fea
+        node_mask[base:base + n] = True
+        node2graph[base:base + n] = gi
+        src_l.append(g.edge_src.astype(np.int64) + base)
+        dst_l.append(g.edge_dst.astype(np.int64) + base)
+        shell_l.append(g.edge_shell)
+        r = g.comp_fea.shape[0]
+        assert r <= R, f"crystal has {r} distinct elements > {R} slots"
+        comp_fea[gi, :r] = g.comp_fea
+        comp_weight[gi, :r] = g.comp_weight
+        comp_mask[gi, :r] = True
+        target[gi] = g.target
+        graph_mask[gi] = True
+        base += n
+
+    if src_l:
+        src = np.concatenate(src_l)
+        dst = np.concatenate(dst_l)
+        shell = np.concatenate(shell_l).astype(np.int64)
+        order = np.argsort(dst, kind="stable")
+        src, dst, shell = src[order], dst[order], shell[order]
+    else:
+        src = dst = shell = np.zeros((0,), np.int64)
+
+    e = len(src)
+    assert e <= E
+    edge_src = np.full((E,), N - 1, np.int32)
+    edge_dst = np.full((E,), N - 1, np.int32)
+    edge_shell = np.zeros((E,), np.int32)
+    edge_mask = np.zeros((E,), bool)
+    edge_src[:e] = src
+    edge_dst[:e] = dst
+    edge_shell[:e] = shell
+    edge_mask[:e] = True
+
+    return CrystalBatch(
+        nodes=jnp.asarray(nodes),
+        node_mask=jnp.asarray(node_mask),
+        node2graph=jnp.asarray(node2graph),
+        edge_src=jnp.asarray(edge_src),
+        edge_dst=jnp.asarray(edge_dst),
+        edge_shell=jnp.asarray(edge_shell),
+        edge_mask=jnp.asarray(edge_mask),
+        comp_fea=jnp.asarray(comp_fea),
+        comp_weight=jnp.asarray(comp_weight),
+        comp_mask=jnp.asarray(comp_mask),
+        target=jnp.asarray(target),
+        graph_mask=jnp.asarray(graph_mask),
+    )

@@ -1,0 +1,272 @@
+"""CGAtNet: crystal-graph attention network (flax.linen, TPU-native).
+
+Re-implementation of the reference model family (reference: CGAT/CGAT.py).
+Structure-aware property model over static padded crystal batches:
+
+  trainable element embedding -> shell-index edge embedding -> n_graph x
+  (node attention MP [+ edge MLP/hyper update]) with residual adds ->
+  Roost composition feature -> global multi-head attention pool ->
+  deep residual output head emitting (output, log_std).
+
+Reference quirks preserved for activation parity:
+* PyG flow semantics: for an edge ``(self_idx, nbr_idx)`` messages aggregate
+  at ``nbr_idx`` and the softmax segments are ``nbr_idx`` (MessagePassing
+  ``source_to_target``; CGAT.py:275, 313-326). Message concat order is
+  ``[x_dst, edge_attr, x_src]``.
+* GATConvEdges under the default ``no_hyper=True`` overwrites its attention
+  aggregate with ``Pooling_NN(edge_attr)`` (CGAT.py:224-225): the default edge
+  update is an MLP of the edge feature and the attention branch is dead. We
+  keep the dead branch's parameters (checkpoint parity) but skip computing it.
+* Node updates always use hypernetworks: H_Net_0 on layer 0, H_Net after
+  (CGAT.py:300-305; ``final`` is never set by CGAtNet).
+* ``mean_pooling=False`` is the effective default (the trainer passes the
+  negated flag, lightning_module.py:170) so pooled heads are concatenated and
+  the output head input is ``elem_fea_len * msg_heads``.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..data.batching import CrystalBatch
+from ..ops.attention import edge_softmax_aggregate
+from ..ops.segment import segment_softmax, segment_sum
+from .blocks import MultiHeadNetwork, ResidualNetwork, TorchLinear
+from .hyper import HNet, HNet0
+from .roost import Roost
+
+
+@dataclasses.dataclass(frozen=True)
+class CGATConfig:
+    """Model hyperparameters; defaults = reference effective defaults
+    (lightning_module.py:426-593 with the store_false inversions resolved,
+    see SURVEY.md section 2.2)."""
+    orig_elem_fea_len: int = 200
+    elem_fea_len: int = 128
+    n_graph: int = 5
+    nbr_embedding_size: int = 128
+    neighbor_number: int = 24
+    mean_pooling: bool = False        # heads concatenated (effective default)
+    rezero: bool = True
+    msg_heads: int = 5
+    update_edges: bool = True
+    vector_attention: bool = True
+    global_vector_attention: bool = True
+    n_graph_roost: int = 3
+    no_hyper: bool = True
+    dropout: float = 0.0
+    out_hidden: tuple = (1024, 1024, 512, 512, 256, 256, 128)
+    compute_dtype: str = "float32"    # "bfloat16" for mixed precision
+    remat: bool = False               # rematerialise MP layers in backward
+
+    @property
+    def dtype(self):
+        return jnp.bfloat16 if self.compute_dtype == "bfloat16" else jnp.float32
+
+    @property
+    def embedding_dim(self) -> int:
+        """Graph-embedding width (gaussian_process.py:89)."""
+        return (self.elem_fea_len if self.mean_pooling
+                else self.elem_fea_len * self.msg_heads)
+
+
+class GATConvNodes(nn.Module):
+    """Node attention message passing (CGAT.py:233-335).
+
+    Per edge: concat [x_dst, e, x_src] -> multi-head gate + message MLPs ->
+    segment softmax over edges incident at dst -> weighted scatter-add ->
+    mean over heads -> hypernetwork update.
+    """
+    in_channels: int
+    out_channels: int
+    nbr_channels: int
+    heads: int = 1
+    vector_attention: bool = False
+    first: bool = False
+    final: bool = False
+    dropout: float = 0.0
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x, edge_src, edge_dst, edge_attr, x_0, edge_mask,
+                 *, deterministic=True):
+        num_nodes = x.shape[0]
+        cat_dim = 2 * self.in_channels + self.nbr_channels
+        hidden = int(cat_dim / 1.5)
+        m_cat = jnp.concatenate([x[edge_dst], edge_attr, x[edge_src]], axis=-1)
+        alpha = MultiHeadNetwork(
+            cat_dim, self.out_channels if self.vector_attention else 1,
+            hidden, self.heads, dtype=self.dtype, name="MH_A")(m_cat)
+        m = MultiHeadNetwork(cat_dim, self.out_channels, hidden, self.heads,
+                             dtype=self.dtype, name="MH_M")(m_cat)
+        if self.dropout > 0.0 and not deterministic:
+            w = segment_softmax(alpha, edge_dst, num_nodes, mask=edge_mask)
+            w = nn.Dropout(self.dropout, deterministic=False)(w)
+            weighted = jnp.where(edge_mask[:, None, None], w * m, 0.0)
+            aggr = segment_sum(weighted, edge_dst, num_nodes)
+        else:
+            aggr = edge_softmax_aggregate(alpha, m, edge_dst, num_nodes,
+                                          edge_mask=edge_mask)
+        aggr = aggr.mean(axis=1)                    # (N, out)  CGAT.py:329
+        if self.final:
+            return aggr
+        c = self.out_channels
+        if self.first:
+            return HNet0(c, 3, c, c, 2, c, c, dtype=self.dtype,
+                         name="Pooling_NN")(x, aggr)
+        return HNet(c, 3, c, c, 2, c, c, dtype=self.dtype,
+                    name="Pooling_NN")(x_0, x, aggr)
+
+
+class GATConvEdges(nn.Module):
+    """Edge embedding update (CGAT.py:115-230).
+
+    Default ``no_hyper=True``: the update is ``SimpleNetwork(edge_attr)`` and
+    the head-normalised attention branch is dead (CGAT.py:224-225) — its
+    parameters are still created so checkpoints line up, but the computation is
+    skipped. With ``no_hyper=False`` the live attention aggregate conditions a
+    hypernetwork (H_Net_0 / H_Net).
+    """
+    in_channels: int
+    out_channels: int
+    nbr_channels: int
+    heads: int = 1
+    vector_attention: bool = False
+    first: bool = False
+    no_hyper: bool = True
+    dropout: float = 0.0
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x, edge_src, edge_dst, edge_attr, edge_attr_0,
+                 edge_mask, *, deterministic=True):
+        cat_dim = 2 * self.in_channels + self.nbr_channels
+        hidden = int(cat_dim / 1.5)
+        mh_a = MultiHeadNetwork(
+            cat_dim, self.out_channels if self.vector_attention else 1,
+            hidden, self.heads, dtype=self.dtype, name="MH_A")
+        mh_m = MultiHeadNetwork(cat_dim, self.out_channels, hidden, self.heads,
+                                dtype=self.dtype, name="MH_M")
+        if self.no_hyper:
+            # register dead-branch params without computing (CGAT.py:224-225)
+            _ = mh_a(jnp.zeros((1, cat_dim), edge_attr.dtype))
+            _ = mh_m(jnp.zeros((1, cat_dim), edge_attr.dtype))
+            from .blocks import SimpleNetwork
+            return SimpleNetwork(self.out_channels, [self.out_channels],
+                                 dtype=self.dtype, name="Pooling_NN")(edge_attr)
+
+        # live hypernetwork path: note concat order [x_src, e, x_dst]
+        # (plain indexing, CGAT.py:209-211 — opposite of GATConvNodes)
+        m_cat = jnp.concatenate([x[edge_src], edge_attr, x[edge_dst]], axis=-1)
+        alpha = jnp.exp(mh_a(m_cat))
+        alpha = alpha / alpha.sum(axis=1, keepdims=True)   # across heads
+        if self.dropout > 0.0 and not deterministic:
+            alpha = nn.Dropout(self.dropout, deterministic=False)(alpha)
+        m = mh_m(m_cat)
+        aggr = (m.reshape(-1, self.heads, self.out_channels) * alpha).mean(axis=1)
+        c = self.out_channels
+        if self.first:
+            return HNet0(c, 3, c, c, 2, c, c, dtype=self.dtype,
+                         name="Pooling_NN")(edge_attr, aggr)
+        return HNet(c, 3, c, c, 2, c, c, dtype=self.dtype,
+                    name="Pooling_NN")(edge_attr_0, edge_attr, aggr)
+
+
+class MHAttention(nn.Module):
+    """Global crystal pooling (CGAT.py:14-62): per-atom gate from
+    ``[atom_fea || roost_crys_fea[graph]]``, segment softmax over the atoms of
+    each crystal, heads concatenated to (C, heads*out)."""
+    in_channels: int
+    out_channels: int
+    heads: int = 1
+    vector_attention: bool = False
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, fea, cry_fea, node2graph, node_mask, num_graphs):
+        m = MultiHeadNetwork(self.in_channels, self.out_channels,
+                             self.in_channels, self.heads, dtype=self.dtype,
+                             name="MH_M")(fea)
+        cat = jnp.concatenate([fea, cry_fea[node2graph]], axis=-1)
+        alpha = MultiHeadNetwork(
+            2 * self.in_channels,
+            self.out_channels if self.vector_attention else 1,
+            self.in_channels, self.heads, dtype=self.dtype, name="MH_A")(cat)
+        alpha = segment_softmax(alpha, node2graph, num_graphs, mask=node_mask)
+        weighted = (alpha * m).reshape(-1, self.heads * self.out_channels)
+        weighted = jnp.where(node_mask[:, None], weighted, 0.0)
+        return segment_sum(weighted, node2graph, num_graphs)
+
+
+class CGAtNet(nn.Module):
+    """Full model (CGAT.py:343-613). ``__call__(batch)`` -> (C, 2)."""
+    config: CGATConfig
+
+    @nn.compact
+    def __call__(self, batch: CrystalBatch, *, last_layer: bool = True,
+                 return_graph_embedding: bool = False, deterministic: bool = True):
+        cfg = self.config
+        dt = cfg.dtype
+
+        edge_attr = nn.Embed(cfg.neighbor_number + 1, cfg.nbr_embedding_size,
+                             embedding_init=nn.initializers.normal(1.0),
+                             name="nbr_embedding")(batch.edge_shell)
+        edge_attr = jnp.asarray(edge_attr, dt)
+        elem_fea = TorchLinear(cfg.elem_fea_len, use_bias=False, dtype=dt,
+                               name="embedding")(jnp.asarray(batch.nodes, dt))
+        elem_fea_0 = elem_fea
+        edge_attr_0 = edge_attr
+
+        def node_layer(i):
+            return GATConvNodes(cfg.elem_fea_len, cfg.elem_fea_len,
+                                cfg.nbr_embedding_size, cfg.msg_heads,
+                                vector_attention=cfg.vector_attention,
+                                first=(i == 0), dropout=cfg.dropout, dtype=dt,
+                                name=f"graph_{i}_Node")
+
+        def edge_layer(i):
+            return GATConvEdges(cfg.elem_fea_len, cfg.nbr_embedding_size,
+                                cfg.nbr_embedding_size, cfg.msg_heads,
+                                vector_attention=cfg.vector_attention,
+                                first=(i == 0), no_hyper=cfg.no_hyper,
+                                dropout=cfg.dropout, dtype=dt,
+                                name=f"graph_{i}_Edge")
+
+        for i in range(cfg.n_graph):
+            if cfg.update_edges:
+                node_update = node_layer(i)(
+                    elem_fea, batch.edge_src, batch.edge_dst, edge_attr,
+                    elem_fea_0, batch.edge_mask, deterministic=deterministic)
+                edge_attr = edge_attr + edge_layer(i)(
+                    elem_fea, batch.edge_src, batch.edge_dst, edge_attr,
+                    edge_attr_0, batch.edge_mask, deterministic=deterministic)
+                elem_fea = elem_fea + node_update
+            else:
+                # Reference's update_edges=False branch passes positionally
+                # broken args (CGAT.py:406-425, dead under defaults); we build
+                # the sane equivalent: node-only attention stack.
+                elem_fea = elem_fea + node_layer(i)(
+                    elem_fea, batch.edge_src, batch.edge_dst, edge_attr,
+                    elem_fea_0, batch.edge_mask, deterministic=deterministic)
+
+        crys_fea = Roost(cfg.orig_elem_fea_len, cfg.elem_fea_len,
+                         cfg.n_graph_roost, dtype=dt, name="roost")(
+            batch.comp_weight, jnp.asarray(batch.comp_fea, dt), batch.comp_mask)
+        crys_fea = MHAttention(cfg.elem_fea_len, cfg.elem_fea_len,
+                               heads=cfg.msg_heads,
+                               vector_attention=cfg.global_vector_attention,
+                               dtype=dt, name="cry_pool")(
+            elem_fea, crys_fea, batch.node2graph, batch.node_mask,
+            batch.num_graphs)
+
+        if cfg.mean_pooling:
+            crys_fea = crys_fea.reshape(-1, cfg.msg_heads,
+                                        cfg.elem_fea_len).mean(axis=1)
+        if return_graph_embedding:
+            return crys_fea
+        out = ResidualNetwork(2, list(cfg.out_hidden), if_rezero=cfg.rezero,
+                              dtype=dt, name="output_nn")(
+            crys_fea, last_layer=last_layer)
+        return jnp.asarray(out, jnp.float32)

@@ -1,0 +1,117 @@
+"""Golden-activation parity: padded JAX model vs unpadded torch oracle.
+
+This is the build's version of the north-star "per-layer activations allclose
+vs the PyTorch CGAT on identical featurized inputs" (BASELINE.md): the oracle
+implements the reference semantics on raw edge lists; the JAX model runs on a
+padded static batch. Outputs on real (unmasked) slots must agree.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from cgat_tpu.data import collate
+from cgat_tpu.data.synthetic import random_graphs, to_oracle_inputs
+from cgat_tpu.models import CGATConfig, CGAtNet
+import torch_oracle as O
+
+SMALL = dict(orig_elem_fea_len=16, elem_fea_len=8, n_graph=2,
+             nbr_embedding_size=8, neighbor_number=4, msg_heads=2,
+             n_graph_roost=2, out_hidden=(16, 8))
+
+
+def build(seed=0, n_graphs=3, **overrides):
+    cfg = CGATConfig(**{**SMALL, **overrides})
+    graphs = random_graphs(seed, n_graphs, n_atoms_range=(3, 7),
+                           max_nbr=cfg.neighbor_number,
+                           orig_fea=cfg.orig_elem_fea_len)
+    batch = collate(graphs, max_nbr=cfg.neighbor_number, node_bucket=8,
+                    num_graphs=n_graphs + 1)  # one padded graph slot
+    model = CGAtNet(cfg)
+    params = model.init(jax.random.key(seed), batch)["params"]
+    oracle_in = to_oracle_inputs(graphs)
+    return cfg, graphs, batch, model, params, oracle_in
+
+
+def np_params(params):
+    return jax.tree.map(np.asarray, params)
+
+
+def test_default_config_forward_parity():
+    cfg, graphs, batch, model, params, oin = build()
+    got = np.asarray(model.apply({"params": params}, batch))
+    want = O.cgat_forward(np_params(params), cfg, oin).numpy()
+    np.testing.assert_allclose(got[: len(graphs)], want, rtol=2e-4, atol=2e-5)
+    assert got.shape == (batch.num_graphs, 2)
+    assert np.all(np.isfinite(got))
+
+
+def test_graph_embedding_parity():
+    cfg, graphs, batch, model, params, oin = build(seed=1)
+    got = np.asarray(model.apply({"params": params}, batch,
+                                 return_graph_embedding=True))
+    want = O.cgat_forward(np_params(params), cfg, oin,
+                          return_graph_embedding=True).numpy()
+    assert got.shape[1] == cfg.embedding_dim
+    np.testing.assert_allclose(got[: len(graphs)], want, rtol=2e-4, atol=2e-5)
+
+
+def test_penultimate_features_parity():
+    cfg, graphs, batch, model, params, oin = build(seed=2)
+    got = np.asarray(model.apply({"params": params}, batch, last_layer=False))
+    want = O.cgat_forward(np_params(params), cfg, oin,
+                          last_layer=False).numpy()
+    np.testing.assert_allclose(got[: len(graphs)], want, rtol=2e-4, atol=2e-5)
+
+
+def test_mean_pooling_variant():
+    cfg, graphs, batch, model, params, oin = build(seed=3, mean_pooling=True,
+                                                   rezero=False)
+    got = np.asarray(model.apply({"params": params}, batch))
+    want = O.cgat_forward(np_params(params), cfg, oin).numpy()
+    np.testing.assert_allclose(got[: len(graphs)], want, rtol=2e-4, atol=2e-5)
+
+
+def test_hyper_edge_variant():
+    """no_hyper=False: live hypernetwork edge updates (CGAT.py:469-511)."""
+    cfg, graphs, batch, model, params, oin = build(seed=4, no_hyper=False)
+    got = np.asarray(model.apply({"params": params}, batch))
+    want = O.cgat_forward(np_params(params), cfg, oin).numpy()
+    np.testing.assert_allclose(got[: len(graphs)], want, rtol=2e-4, atol=2e-5)
+
+
+def test_node_only_variant():
+    """update_edges=False: node-only attention stack (sane rebuild of the
+    reference's dead branch, CGAT.py:406-425)."""
+    cfg, graphs, batch, model, params, oin = build(seed=5, update_edges=False)
+    got = np.asarray(model.apply({"params": params}, batch))
+    want = O.cgat_forward(np_params(params), cfg, oin).numpy()
+    np.testing.assert_allclose(got[: len(graphs)], want, rtol=2e-4, atol=2e-5)
+
+
+def test_padding_invariance():
+    """More padding slots must not change real outputs."""
+    cfg, graphs, batch, model, params, _ = build(seed=6)
+    big = collate(graphs, max_nbr=cfg.neighbor_number, node_bucket=8,
+                  num_graphs=len(graphs) + 5, num_node_slots=96,
+                  num_comp_slots=batch.comp_fea.shape[1] + 3)
+    out_small = np.asarray(model.apply({"params": params}, batch))
+    out_big = np.asarray(model.apply({"params": params}, big))
+    np.testing.assert_allclose(out_small[: len(graphs)],
+                               out_big[: len(graphs)], rtol=1e-5, atol=1e-6)
+
+
+def test_gradients_finite():
+    cfg, graphs, batch, model, params, _ = build(seed=7)
+
+    def loss_fn(p):
+        out = model.apply({"params": p}, batch)
+        pred = out[:, 0]
+        return jnp.sum(jnp.where(batch.graph_mask,
+                                 jnp.abs(pred - batch.target), 0.0))
+
+    grads = jax.grad(loss_fn)(params)
+    leaves = jax.tree.leaves(grads)
+    assert all(np.all(np.isfinite(g)) for g in leaves)
+    # at least the embedding must receive signal
+    assert np.abs(np.asarray(grads["embedding"]["kernel"])).max() > 0
