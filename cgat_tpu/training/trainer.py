@@ -1,0 +1,466 @@
+"""Training system (reference: CGAT/lightning_module.py + CGAT/train.py).
+
+The PyTorch-Lightning module + DDP trainer of the reference becomes a
+functional JAX trainer: a jitted ``train_step`` (loss -> grad -> optax update,
+all fused by XLA), host-side epoch loop with epoch-level LR scheduling via
+``optax.inject_hyperparams`` (no recompiles), target normalisation computed
+once from the training split, top-1 ``val_mae`` checkpointing through orbax,
+and JSONL/TensorBoard metric logging.
+
+Key parity points:
+* normalisation mean/std over all train targets with torch's unbiased std
+  (lightning_module.py:120-128), persisted in the checkpoint so reloads need
+  no data pass;
+* default criterion is plain L1 on normalised targets; Robust losses opt-in
+  (lightning_module.py:130-142);
+* metrics: loss on normalised scale, mae/rmse on denormalised predictions vs
+  raw ``y`` (lightning_module.py:227-301);
+* ``only_residual`` trains just the output head (transfer learning,
+  lightning_module.py:314-316).
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import time
+from functools import partial
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+
+from ..data.batching import CrystalBatch
+from ..data.dataset import GraphLoader, split_dataset
+from ..models.cgat import CGATConfig, CGAtNet
+from . import losses as L
+from . import schedules
+from .lamb import lamb
+
+
+@dataclasses.dataclass
+class TrainerConfig:
+    """Optimisation/data flags (reference argparse,
+    lightning_module.py:426-593 and train.py:82-131, with the inverted
+    ``store_false`` booleans resolved to explicit values)."""
+    # data
+    data_path: str = "data/"
+    fea_path: str | None = None
+    target: str = "e_above_hull_new"
+    max_nbr: int = 24
+    val_size: float = 0.1
+    test_size: float = 0.1
+    train_percentage: float = 0.0
+    val_path: str | None = None
+    test_path: str | None = None
+    # optimisation
+    batch_size: int = 64
+    epochs: int = 390
+    optim: str = "AdamW"            # SGD | Adam | AdamW | LAMB
+    learning_rate: float = 0.000125
+    momentum: float = 0.9
+    weight_decay: float = 1e-6
+    loss: str = "L1"                # L1 | L2
+    robust_loss: bool = False       # reference --std-loss inverted default
+    clr: bool = True
+    clr_period: int = 130
+    acc_batches: int = 1
+    only_residual: bool = False
+    seed: int = 0
+    check_val_every_n_epoch: int = 2
+    # batching
+    node_bucket: int = 64
+    num_comp_slots: int | None = None
+    # io
+    ckpt_dir: str = "tb_logs"
+    run_name: str | None = None
+    log_tensorboard: bool = False
+    # parallelism
+    n_devices: int = 1              # data-parallel devices (1 = single chip)
+    edge_shards: int = 1            # edge-partition shards per replica
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    opt_state: Any
+
+
+def make_optimizer(cfg: TrainerConfig, params=None):
+    """Build the optax chain matching lightning_module.py:306-355."""
+    def base(learning_rate):
+        if cfg.optim == "SGD":
+            return optax.sgd(learning_rate, momentum=cfg.momentum)if cfg.weight_decay == 0 else optax.chain(
+                optax.add_decayed_weights(cfg.weight_decay),
+                optax.sgd(learning_rate, momentum=cfg.momentum))
+        if cfg.optim == "Adam":
+            return optax.chain(optax.add_decayed_weights(cfg.weight_decay),
+                               optax.adam(learning_rate))
+        if cfg.optim == "AdamW":
+            return optax.adamw(learning_rate, weight_decay=cfg.weight_decay)
+        if cfg.optim == "LAMB":
+            return lamb(learning_rate, weight_decay=cfg.weight_decay)
+        raise NameError("Only SGD, Adam, AdamW, LAMB are allowed as optim")
+
+    tx = optax.inject_hyperparams(base)(learning_rate=cfg.learning_rate)
+    if cfg.only_residual:
+        # transfer learning: train only the output head; every other subtree
+        # gets zero updates (lightning_module.py:314-316, CGAT.py:605-606)
+        def label_fn(params):
+            return {k: ("train" if k == "output_nn" else "freeze")
+                    for k in params}
+        tx = optax.multi_transform(
+            {"train": tx, "freeze": optax.set_to_zero()}, label_fn)
+    if cfg.acc_batches > 1:
+        tx = optax.MultiSteps(tx, cfg.acc_batches)
+    return tx
+
+
+def set_learning_rate(opt_state, lr: float):
+    """Update the injected learning_rate hyperparam in-place (epoch-level
+    scheduling without recompilation)."""
+    found = []
+
+    def walk(s):
+        if hasattr(s, "hyperparams") and "learning_rate" in s.hyperparams:
+            s.hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
+            found.append(True)
+        if isinstance(s, (tuple, list)):
+            for x in s:
+                walk(x)
+        if isinstance(s, dict):
+            for x in s.values():
+                walk(x)
+        for attr in ("inner_state", "inner_opt_state", "inner_states"):
+            inner = getattr(s, attr, None)
+            if inner is not None:
+                walk(inner)
+
+    walk(opt_state)
+    if not found:
+        raise RuntimeError("no injected learning_rate found in opt state")
+    return opt_state
+
+
+def _metrics(output, log_std, target, mask, mean, std, criterion):
+    target_norm = (target - mean) / std
+    loss = criterion(output, log_std, target_norm, mask)
+    pred = output * std + mean
+    mae = L.l1(pred, target, mask)
+    rmse = jnp.sqrt(L.mse(pred, target, mask))
+    return loss, {"loss": loss, "mae": mae, "rmse": rmse}
+
+
+def make_train_step(model: CGAtNet, tx, criterion, mean: float, std: float,
+                    donate: bool = True):
+    def step_fn(state: TrainState, batch: CrystalBatch):
+        def loss_fn(params):
+            out = model.apply({"params": params}, batch)
+            output, log_std = out[:, 0], out[:, 1]
+            loss, m = _metrics(output, log_std, batch.target,
+                               batch.graph_mask, mean, std, criterion)
+            return loss, m
+
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return state.replace(step=state.step + 1, params=params,
+                             opt_state=opt_state), metrics
+
+    return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+
+
+def make_eval_step(model: CGAtNet, criterion, mean: float, std: float):
+    def step_fn(params, batch: CrystalBatch):
+        out = model.apply({"params": params}, batch)
+        output, log_std = out[:, 0], out[:, 1]
+        _, m = _metrics(output, log_std, batch.target, batch.graph_mask,
+                        mean, std, criterion)
+        n = jnp.sum(batch.graph_mask.astype(jnp.float32))
+        return {k: v * n for k, v in m.items()} | {"n": n}
+
+    return jax.jit(step_fn)
+
+
+def make_predict_step(model: CGAtNet, mean: float, std: float):
+    def step_fn(params, batch: CrystalBatch):
+        out = model.apply({"params": params}, batch)
+        return out[:, 0] * std + mean, out[:, 1]
+
+    return jax.jit(step_fn)
+
+
+class MetricsLogger:
+    """JSONL metrics log + optional TensorBoard (reference used
+    TensorBoardLogger, train.py:40)."""
+
+    def __init__(self, log_dir: str, tensorboard: bool = False):
+        os.makedirs(log_dir, exist_ok=True)
+        self.path = os.path.join(log_dir, "metrics.jsonl")
+        self._tb = None
+        if tensorboard:
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+                self._tb = SummaryWriter(log_dir)
+            except Exception:
+                self._tb = None
+
+    def log(self, step: int, **metrics):
+        rec = {"step": step, "time": time.time()}
+        rec.update({k: float(v) for k, v in metrics.items()})
+        with open(self.path, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+        if self._tb is not None:
+            for k, v in metrics.items():
+                self._tb.add_scalar(k, float(v), step)
+
+
+class Trainer:
+    """End-to-end trainer (LightningModel + pl.Trainer equivalent)."""
+
+    def __init__(self, cfg: TrainerConfig, model_cfg: CGATConfig,
+                 graphs=None, *, mean: float | None = None,
+                 std: float | None = None):
+        self.cfg = cfg
+        self.model_cfg = model_cfg
+        self.model = CGAtNet(model_cfg)
+        self.criterion = L.make_loss(cfg.loss, cfg.robust_loss)
+        self.rng = jax.random.key(cfg.seed)
+
+        if graphs is not None:
+            self._setup_data(graphs)
+        elif mean is not None:
+            self.mean, self.std = float(mean), float(std)
+            self.train_graphs = self.val_graphs = self.test_graphs = []
+        else:
+            from ..data.dataset import load_dataset_dir
+            all_graphs = load_dataset_dir(
+                cfg.data_path, fea_path=cfg.fea_path,
+                max_neighbor_number=cfg.max_nbr, target=cfg.target)
+            self._setup_data(all_graphs)
+
+    def _setup_data(self, graphs):
+        cfg = self.cfg
+        if cfg.val_path is None or cfg.test_path is None:
+            tr, va, te = split_dataset(
+                len(graphs), seed=cfg.seed, val_size=cfg.val_size,
+                test_size=cfg.test_size,
+                train_percentage=cfg.train_percentage)
+            self.train_graphs = [graphs[i] for i in tr]
+            self.val_graphs = [graphs[i] for i in va]
+            self.test_graphs = [graphs[i] for i in te]
+        else:
+            from ..data.dataset import load_dataset_dir
+            self.train_graphs = list(graphs)
+            self.val_graphs = load_dataset_dir(
+                cfg.val_path, fea_path=cfg.fea_path,
+                max_neighbor_number=cfg.max_nbr, target=cfg.target)
+            self.test_graphs = load_dataset_dir(
+                cfg.test_path, fea_path=cfg.fea_path,
+                max_neighbor_number=cfg.max_nbr, target=cfg.target)
+        ys = np.asarray([g.target for g in self.train_graphs], np.float64)
+        # torch.std default is unbiased (ddof=1), lightning_module.py:124-126
+        self.mean = float(ys.mean())
+        self.std = float(ys.std(ddof=1)) if len(ys) > 1 else 1.0
+        print(f"mean: {self.mean} std: {self.std}")
+
+    # ------------------------------------------------------------- state
+
+    def init_state(self, example_batch: CrystalBatch | None = None,
+                   params=None) -> TrainState:
+        if example_batch is None:
+            example_batch = self._example_batch()
+        if params is None:
+            params = self.model.init(self.rng, example_batch)["params"]
+        n_params = sum(p.size for p in jax.tree.leaves(params))
+        print(f"this model has {n_params:d} parameters")
+        self.tx = make_optimizer(self.cfg, params)
+        opt_state = self.tx.init(params)
+        return TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                          opt_state=opt_state)
+
+    def _example_batch(self):
+        src = self.train_graphs or self.val_graphs or self.test_graphs
+        loader = self._loader(src[: self.cfg.batch_size], shuffle=False)
+        return next(iter(loader))
+
+    def _loader(self, graphs, shuffle):
+        cfg = self.cfg
+        return GraphLoader(graphs, cfg.batch_size, shuffle=shuffle,
+                           seed=cfg.seed, max_nbr=cfg.max_nbr,
+                           node_bucket=cfg.node_bucket,
+                           num_comp_slots=cfg.num_comp_slots or 12)
+
+    # --------------------------------------------------------------- fit
+
+    def fit(self, state: TrainState | None = None, *,
+            epochs: int | None = None) -> TrainState:
+        cfg = self.cfg
+        epochs = epochs or cfg.epochs
+        if state is None:
+            state = self.init_state()
+        train_step = make_train_step(self.model, self.tx, self.criterion,
+                                     self.mean, self.std)
+        eval_step = make_eval_step(self.model, self.criterion,
+                                   self.mean, self.std)
+        run_name = cfg.run_name or f"f-{cfg.seed}_t-{time.strftime('%Y-%m-%d_%H-%M-%S')}"
+        log_dir = os.path.join(cfg.ckpt_dir, "runs", run_name)
+        logger = MetricsLogger(log_dir, cfg.log_tensorboard)
+        ckpt = CheckpointManager(log_dir)
+
+        if cfg.clr:
+            sched = schedules.cyclical_lr(period=cfg.clr_period,
+                                          cycle_mul=0.1, tune_mul=0.05)
+            lr_of_epoch = lambda e, _: cfg.learning_rate * sched(e)
+        else:
+            plateau = schedules.ReduceLROnPlateau()
+            lr_of_epoch = lambda e, m: cfg.learning_rate * (
+                plateau.step(m) if m is not None else plateau.scale)
+
+        best_val = float("inf")
+        val_mae = None
+        train_loader = self._loader(self.train_graphs, shuffle=True)
+        for epoch in range(epochs):
+            state = state.replace(opt_state=set_learning_rate(
+                state.opt_state, lr_of_epoch(epoch, val_mae)))
+            t0 = time.time()
+            agg, nb = None, 0
+            for batch in train_loader:
+                state, metrics = train_step(state, batch)
+                agg = metrics if agg is None else jax.tree.map(
+                    jnp.add, agg, metrics)
+                nb += 1
+            if nb == 0:
+                raise RuntimeError("training split smaller than one batch")
+            train_m = {k: float(v) / nb for k, v in agg.items()}
+            dt = time.time() - t0
+            logger.log(int(state.step), epoch=epoch,
+                       train_loss=train_m["loss"], train_mae=train_m["mae"],
+                       train_rmse=train_m["rmse"], epoch_time=dt)
+
+            if (epoch + 1) % cfg.check_val_every_n_epoch == 0 and self.val_graphs:
+                val_m = self.evaluate_split(state.params, self.val_graphs,
+                                            eval_step)
+                val_mae = val_m["mae"]
+                logger.log(int(state.step), epoch=epoch,
+                           val_loss=val_m["loss"], val_mae=val_m["mae"],
+                           val_rmse=val_m["rmse"])
+                if val_mae < best_val:
+                    best_val = val_mae
+                    ckpt.save(state, self, epoch=epoch, val_mae=val_mae)
+        self.last_log_dir = log_dir
+        return state
+
+    def evaluate_split(self, params, graphs, eval_step=None):
+        """Masked-exact metrics over every graph (tail batches padded, not
+        dropped — unlike the reference's drop_last val loaders,
+        lightning_module.py:382-386, which silently skip the tail)."""
+        eval_step = eval_step or make_eval_step(self.model, self.criterion,
+                                                self.mean, self.std)
+        tot, n = None, 0.0
+        loader = self._loader(graphs, shuffle=False)
+        loader.drop_last = False
+        for batch in loader:
+            m = eval_step(params, batch)
+            tot = m if tot is None else jax.tree.map(jnp.add, tot, m)
+        if tot is None:
+            return {"loss": float("nan"), "mae": float("nan"),
+                    "rmse": float("nan")}
+        n = float(tot.pop("n"))
+        return {k: float(v) / n for k, v in tot.items()}
+
+    def predict(self, params, graphs):
+        """Denormalised predictions in dataset order (predict.py:10-40).
+        Unlike the training loaders this pads the tail batch instead of
+        dropping it, so every graph gets a prediction."""
+        step = make_predict_step(self.model, self.mean, self.std)
+        preds = []
+        loader = self._loader(graphs, shuffle=False)
+        loader.drop_last = False
+        for batch in loader:
+            p, _ = step(params, batch)
+            preds.append(np.asarray(p)[np.asarray(batch.graph_mask)])
+        return np.concatenate(preds) if preds else np.zeros((0,))
+
+    def embeddings(self, params, graphs):
+        """Graph embeddings (calculate_embeddings.py flow)."""
+        fn = jax.jit(lambda p, b: self.model.apply(
+            {"params": p}, b, return_graph_embedding=True))
+        out = []
+        loader = self._loader(graphs, shuffle=False)
+        loader.drop_last = False
+        for batch in loader:
+            e = fn(params, batch)
+            out.append(np.asarray(e)[np.asarray(batch.graph_mask)])
+        return np.concatenate(out) if out else np.zeros((0,))
+
+
+class CheckpointManager:
+    """Orbax-backed top-1 checkpointing (reference ModelCheckpoint on
+    val_mae, train.py:42-48) + hyperparameter persistence for
+    ``Trainer.load``-style reconstruction (lightning_module.py:413-424)."""
+
+    def __init__(self, log_dir: str):
+        self.dir = os.path.abspath(os.path.join(log_dir, "checkpoints"))
+        os.makedirs(self.dir, exist_ok=True)
+
+    def save(self, state: TrainState, trainer: Trainer, *, epoch: int,
+             val_mae: float):
+        import orbax.checkpoint as ocp
+        path = os.path.join(self.dir, "best")
+        with ocp.PyTreeCheckpointer() as ckptr:
+            ckptr.save(path, {"params": state.params,
+                              "step": state.step}, force=True)
+        meta = {
+            "epoch": epoch, "val_mae": float(val_mae),
+            "mean": trainer.mean, "std": trainer.std,
+            "trainer_config": dataclasses.asdict(trainer.cfg),
+            "model_config": dataclasses.asdict(trainer.model_cfg),
+        }
+        with open(os.path.join(self.dir, "best.json"), "w") as f:
+            json.dump(meta, f, indent=2, default=str)
+
+    @staticmethod
+    def load(ckpt_dir: str):
+        """Returns (params, meta). ``ckpt_dir`` is .../checkpoints or the
+        run dir containing it."""
+        import orbax.checkpoint as ocp
+        d = ckpt_dir
+        if os.path.isdir(os.path.join(d, "checkpoints")):
+            d = os.path.join(d, "checkpoints")
+        with open(os.path.join(d, "best.json")) as f:
+            meta = json.load(f)
+        with ocp.PyTreeCheckpointer() as ckptr:
+            tree = ckptr.restore(os.path.join(d, "best"))
+        return tree["params"], meta
+
+
+def load_trainer(ckpt_dir: str, *, train: bool = False, graphs=None,
+                 **overrides):
+    """Rebuild a Trainer + params from a checkpoint
+    (LightningModel.load, lightning_module.py:413-424)."""
+    params, meta = CheckpointManager.load(ckpt_dir)
+    tcfg_d = dict(meta["trainer_config"])
+    tcfg_d.update(overrides)
+    # dataclass roundtrip may stringify None
+    tcfg = TrainerConfig(**{k: (None if v == "None" else v)
+                            for k, v in tcfg_d.items()
+                            if k in TrainerConfig.__dataclass_fields__})
+    mcfg_d = meta["model_config"]
+    mcfg_d["out_hidden"] = tuple(mcfg_d.get("out_hidden", ()))
+    mcfg = CGATConfig(**{k: v for k, v in mcfg_d.items()
+                         if k in CGATConfig.__dataclass_fields__})
+    if train and graphs is None:
+        from ..data.dataset import load_dataset_dir
+        graphs = load_dataset_dir(tcfg.data_path, fea_path=tcfg.fea_path,
+                                  max_neighbor_number=tcfg.max_nbr,
+                                  target=tcfg.target)
+    trainer = Trainer(tcfg, mcfg, graphs, mean=meta["mean"], std=meta["std"])
+    # the stored normalisation always wins (persisted like the reference's
+    # non-grad mean/std Parameters, lightning_module.py:44-46)
+    trainer.mean, trainer.std = meta["mean"], meta["std"]
+    return trainer, params, meta

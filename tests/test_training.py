@@ -1,0 +1,146 @@
+"""Training-system tests: losses, LAMB, schedules, end-to-end fit, ckpt."""
+import math
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+import pytest
+
+from cgat_tpu.data.synthetic import random_graphs
+from cgat_tpu.models import CGATConfig
+from cgat_tpu.training import (
+    Trainer, TrainerConfig, lamb, load_trainer, losses, make_optimizer,
+    schedules, set_learning_rate,
+)
+
+TINY_MODEL = dict(orig_elem_fea_len=16, elem_fea_len=8, n_graph=2,
+                  nbr_embedding_size=8, neighbor_number=4, msg_heads=2,
+                  n_graph_roost=1, out_hidden=(16, 8))
+
+
+def test_robust_l1_matches_formula(rng):
+    o = rng.standard_normal(10).astype(np.float32)
+    s = rng.standard_normal(10).astype(np.float32)
+    t = rng.standard_normal(10).astype(np.float32)
+    mask = np.ones(10, bool)
+    got = float(losses.robust_l1(jnp.asarray(o), jnp.asarray(s),
+                                 jnp.asarray(t), jnp.asarray(mask)))
+    want = np.mean(np.sqrt(2.0) * np.abs(o - t) * np.exp(-s) + s)
+    assert math.isclose(got, want, rel_tol=1e-5)
+
+
+def test_masked_loss_ignores_padding(rng):
+    o = rng.standard_normal(6).astype(np.float32)
+    t = rng.standard_normal(6).astype(np.float32)
+    mask = np.array([1, 1, 1, 1, 0, 0], bool)
+    got = float(losses.l1(jnp.asarray(o), jnp.asarray(t), jnp.asarray(mask)))
+    want = np.mean(np.abs(o - t)[:4])
+    assert math.isclose(got, want, rel_tol=1e-5)
+
+
+def test_lamb_matches_reference_kernel(rng):
+    """One LAMB step vs a literal numpy transcription of lamb_kernel
+    (reference lambs.py:155-181)."""
+    p = rng.standard_normal((4, 3)).astype(np.float32)
+    g = rng.standard_normal((4, 3)).astype(np.float32)
+    lr, b1, b2, eps, wd = 0.01, 0.9, 0.999, 1e-6, 0.1
+    tx = lamb(lr, b1, b2, eps, wd)
+    params = {"w": jnp.asarray(p)}
+    state = tx.init(params)
+    updates, _ = tx.update({"w": jnp.asarray(g)}, state, params)
+    new_p = np.asarray(optax.apply_updates(params, updates)["w"])
+
+    m = (1 - b1) * g
+    v = (1 - b2) * g * g
+    adam_step = m / (np.sqrt(v) + eps) + wd * p
+    wn = np.clip(np.linalg.norm(p), 0, 10)
+    an = np.linalg.norm(adam_step)
+    trust = wn / (an + eps)
+    want = p - lr * trust * adam_step
+    np.testing.assert_allclose(new_p, want, rtol=1e-5, atol=1e-6)
+
+
+def test_cyclical_lr_formula():
+    sched = schedules.cyclical_lr(period=100, cycle_mul=0.1)
+    assert math.isclose(sched(0), 0.1, rel_tol=1e-6)
+    assert math.isclose(sched(50), 1.0, rel_tol=1e-6)
+    assert math.isclose(sched(100), 0.1, rel_tol=1e-6)
+    assert math.isclose(sched(150), 1.0, rel_tol=1e-6)
+
+
+def test_plateau_scheduler_reduces():
+    p = schedules.ReduceLROnPlateau(patience=2, factor=0.5)
+    scales = [p.step(1.0) for _ in range(6)]
+    assert scales[-1] < 1.0
+
+
+def test_set_learning_rate_all_optimizers():
+    params = {"output_nn": {"w": jnp.ones(3)}, "other": {"w": jnp.ones(3)}}
+    for optim in ("SGD", "Adam", "AdamW", "LAMB"):
+        for extra in (dict(), dict(only_residual=True), dict(acc_batches=2)):
+            cfg = TrainerConfig(optim=optim, **extra)
+            tx = make_optimizer(cfg)
+            st = tx.init(params)
+            set_learning_rate(st, 0.5)  # must find the injected hyperparam
+
+
+def make_trainer(**overrides):
+    graphs = random_graphs(0, 24, n_atoms_range=(3, 6), max_nbr=4,
+                           orig_fea=16)
+    cfg = TrainerConfig(batch_size=4, epochs=4, node_bucket=8,
+                        check_val_every_n_epoch=2, num_comp_slots=8,
+                        max_nbr=4, learning_rate=3e-3, **overrides)
+    mcfg = CGATConfig(**TINY_MODEL)
+    return Trainer(cfg, mcfg, graphs), graphs
+
+
+def test_fit_reduces_loss(tmp_path):
+    trainer, _ = make_trainer(ckpt_dir=str(tmp_path))
+    state = trainer.init_state()
+    from cgat_tpu.training.trainer import make_train_step
+    step = make_train_step(trainer.model, trainer.tx, trainer.criterion,
+                           trainer.mean, trainer.std, donate=False)
+    batch = trainer._example_batch()
+    first = None
+    for i in range(30):
+        state, m = step(state, batch)
+        if first is None:
+            first = float(m["loss"])
+    assert float(m["loss"]) < first * 0.7, (first, float(m["loss"]))
+
+
+def test_fit_loop_and_checkpoint_roundtrip(tmp_path):
+    trainer, graphs = make_trainer(ckpt_dir=str(tmp_path))
+    state = trainer.fit(epochs=2)
+    # a checkpoint was written (val runs on epoch 2)
+    run_dir = trainer.last_log_dir
+    trainer2, params2, meta = load_trainer(run_dir, graphs=graphs)
+    assert meta["val_mae"] >= 0
+    assert trainer2.mean == trainer.mean and trainer2.std == trainer.std
+    chex_equal = jax.tree.map(
+        lambda a, b: np.allclose(np.asarray(a), np.asarray(b)),
+        params2, jax.tree.map(np.asarray, state.params))
+    # best ckpt is from epoch 2 == final state here
+    assert all(jax.tree.leaves(chex_equal))
+    # predictions load + run
+    preds = trainer2.predict(params2, graphs[:10])
+    assert preds.shape == (10,)
+    embs = trainer2.embeddings(params2, graphs[:10])
+    assert embs.shape == (10, CGATConfig(**TINY_MODEL).embedding_dim)
+
+
+def test_only_residual_freezes_hidden(tmp_path):
+    trainer, _ = make_trainer(ckpt_dir=str(tmp_path), only_residual=True)
+    state = trainer.init_state()
+    from cgat_tpu.training.trainer import make_train_step
+    step = make_train_step(trainer.model, trainer.tx, trainer.criterion,
+                           trainer.mean, trainer.std, donate=False)
+    batch = trainer._example_batch()
+    before = jax.tree.map(np.asarray, state.params)
+    state, _ = step(state, batch)
+    after = jax.tree.map(np.asarray, state.params)
+    assert np.allclose(before["embedding"]["kernel"],
+                       after["embedding"]["kernel"])
+    assert not np.allclose(before["output_nn"]["fc_out"]["kernel"],
+                           after["output_nn"]["fc_out"]["kernel"])
