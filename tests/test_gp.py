@@ -55,4 +55,4 @@ def test_uncertainty_grows_off_data():
                        learning_rate=5e-2, verbose=False)
     _, var_in = gp_predict_f(params, jnp.asarray([[0.0]], dtype=jnp.float32))
     _, var_out = gp_predict_f(params, jnp.asarray([[30.0]], dtype=jnp.float32))
-    assert float(var_out) > float(var_in)
+    assert float(var_out[0]) > float(var_in[0])
