@@ -1,0 +1,83 @@
+"""Benchmark: training-step throughput of the flagship CGAT model on one chip.
+
+Prints ONE JSON line:
+  {"metric": "train_edges_per_sec_per_chip", "value": N, "unit": "edges/s",
+   "vs_baseline": R}
+
+The metric is the north-star edges/s/chip (BASELINE.md): real (unpadded)
+edges processed per second through a full jitted train step (fwd + bwd +
+AdamW) of the reference-default model (128 fea, 5 layers, 5 heads, 24
+neighbors). ``vs_baseline`` compares against BENCH_BASELINE.json, written on
+the first ever run (the reference repo publishes no numbers — BASELINE.md).
+"""
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BENCH_BASELINE.json")
+
+
+def build():
+    from cgat_tpu.data import collate
+    from cgat_tpu.data.synthetic import random_graphs
+    from cgat_tpu.models import CGATConfig, CGAtNet
+    from cgat_tpu.training import TrainerConfig, losses, make_optimizer
+    from cgat_tpu.training.trainer import TrainState, make_train_step
+
+    cfg = CGATConfig()
+    # realistic training batch: 64 crystals, ~12 atoms each (dcgat-like)
+    graphs = random_graphs(0, 64, n_atoms_range=(8, 16), max_nbr=24)
+    batch = collate(graphs, max_nbr=24, node_bucket=64)
+    n_real_edges = int(np.asarray(jnp.sum(batch.edge_mask)))
+
+    model = CGAtNet(cfg)
+    params = model.init(jax.random.key(0), batch)["params"]
+    tcfg = TrainerConfig(optim="AdamW", learning_rate=1.25e-4)
+    tx = make_optimizer(tcfg)
+    state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                       opt_state=tx.init(params))
+    criterion = losses.make_loss("L1", False)
+    step = make_train_step(model, tx, criterion, 0.0, 1.0, donate=True)
+    return step, state, batch, n_real_edges
+
+
+def main():
+    step, state, batch, n_edges = build()
+    # warmup / compile
+    state, m = step(state, batch)
+    jax.block_until_ready(m)
+    n_iters = 30
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        state, m = step(state, batch)
+    jax.block_until_ready(m)
+    dt = time.perf_counter() - t0
+    edges_per_sec = n_edges * n_iters / dt
+
+    if os.path.exists(BASELINE_FILE):
+        with open(BASELINE_FILE) as f:
+            base = json.load(f)["value"]
+    else:
+        base = edges_per_sec
+        with open(BASELINE_FILE, "w") as f:
+            json.dump({"metric": "train_edges_per_sec_per_chip",
+                       "value": base,
+                       "note": "first recorded run (reference publishes no "
+                               "numbers, BASELINE.md)"}, f)
+    print(json.dumps({
+        "metric": "train_edges_per_sec_per_chip",
+        "value": round(edges_per_sec, 1),
+        "unit": "edges/s",
+        "vs_baseline": round(edges_per_sec / base, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()
