@@ -20,11 +20,20 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# Persistent compilation cache: the flagship model's init+step compiles are
+# expensive over the TPU tunnel; cache them across bench runs/rounds.
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.expanduser("~/.cache/jax_comp"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "BENCH_BASELINE.json")
 
 
 def build():
+    from cgat_tpu.ops import attention as _att
+    if jax.default_backend() == "tpu":
+        _att.set_backend("pallas")
     from cgat_tpu.data import collate
     from cgat_tpu.data.synthetic import random_graphs
     from cgat_tpu.models import CGATConfig, CGAtNet
@@ -50,16 +59,20 @@ def build():
 
 def main():
     step, state, batch, n_edges = build()
-    # warmup / compile
-    state, m = step(state, batch)
-    jax.block_until_ready(m)
-    n_iters = 30
-    t0 = time.perf_counter()
-    for _ in range(n_iters):
+    # warmup: first call compiles; a second/third absorb donation-layout
+    # recompiles so the timed region is steady state
+    for _ in range(3):
         state, m = step(state, batch)
-    jax.block_until_ready(m)
-    dt = time.perf_counter() - t0
-    edges_per_sec = n_edges * n_iters / dt
+        jax.block_until_ready(m)
+    n_iters = 50
+    best = float("inf")
+    for _trial in range(3):
+        t0 = time.perf_counter()
+        for _ in range(n_iters):
+            state, m = step(state, batch)
+        jax.block_until_ready(m)
+        best = min(best, time.perf_counter() - t0)
+    edges_per_sec = n_edges * n_iters / best
 
     if os.path.exists(BASELINE_FILE):
         with open(BASELINE_FILE) as f:

@@ -194,10 +194,12 @@ class MHAttention(nn.Module):
             2 * self.in_channels,
             self.out_channels if self.vector_attention else 1,
             self.in_channels, self.heads, dtype=self.dtype, name="MH_A")(cat)
-        alpha = segment_softmax(alpha, node2graph, num_graphs, mask=node_mask)
-        weighted = (alpha * m).reshape(-1, self.heads * self.out_channels)
-        weighted = jnp.where(node_mask[:, None], weighted, 0.0)
-        return segment_sum(weighted, node2graph, num_graphs)
+        # same fused segment-softmax-aggregate as message passing (atoms ->
+        # crystals instead of edges -> nodes); node2graph is sorted
+        agg = edge_softmax_aggregate(alpha, jnp.broadcast_to(
+            m, (m.shape[0], self.heads, self.out_channels)),
+            node2graph, num_graphs, edge_mask=node_mask)
+        return agg.reshape(-1, self.heads * self.out_channels)
 
 
 class CGAtNet(nn.Module):

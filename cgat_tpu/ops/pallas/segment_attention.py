@@ -1,0 +1,316 @@
+"""Fused Pallas TPU kernel: segment softmax + weighted scatter-aggregate.
+
+TPU-native replacement for the reference's torch_scatter/torch_geometric
+gather-scatter hot path (reference CGAT/CGAT.py:319-326: PyG ``softmax`` over
+``edge_index_i`` followed by ``scatter_add``): one kernel computes, per
+destination node, ``out[n] = sum_e softmax(alpha)_e * m_e`` over that node's
+incident edges.
+
+Design (see /opt/skills/guides/pallas_guide.md):
+* Edges are sorted by destination (guaranteed by the batch builder,
+  cgat_tpu/data/batching.py), so each node's edges form one contiguous run.
+  A CSR-style offsets array (one entry per node block) is scalar-prefetched.
+* Grid over blocks of BN=128 destination nodes. Edge chunks are DMA'd
+  HBM->VMEM on demand; scatter within a chunk becomes a *one-hot membership
+  matmul* on the MXU ((BN, BE) @ (BE, HF)) — TPU has no vector scatter, but
+  the systolic array eats one-hot contractions.
+* Numerical stabilisation is flash-attention style: a per-column running max
+  over the node block's edges rescales the exp-sum and weighted-sum
+  accumulators chunk by chunk. Softmax is shift-invariant, so any per-node
+  constant gives the mathematically identical result; a blockwise shift only
+  differs from PyG's per-segment max if logits within one node block span
+  more than ~70 (exp underflow), far beyond trained-attention ranges.
+* Destination ids ship as an ``(E, 128)`` lane-broadcast int32 array so every
+  DMA is tile-aligned (Mosaic requires lane width 128 / sublane multiples
+  of 8; a ``(BE, 1)`` slice is not expressible).
+* Custom VJP: the backward is embarrassingly parallel over edge blocks —
+  d_alpha_e = p_e * g_n * (m_e - out_n), d_m_e = p_e * g_n — needing only the
+  saved per-node shift/denominator/output gathered through the same one-hot
+  matmul trick (exact for any shift as long as the denominator used it too).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_BIG = -1e30
+EPS = 1e-16  # torch_geometric.utils.softmax denominator epsilon
+
+BLOCK_NODES = 128   # destination nodes per grid step (lane width)
+BLOCK_EDGES = 1024  # edges per DMA chunk
+
+# module-level default for the interpret flag (tests set True to run the
+# kernels through the Pallas interpreter on CPU)
+INTERPRET = False
+
+
+def _fwd_kernel(off_ref, alpha_hbm, m_hbm, dstb_hbm,
+                out_ref, max_ref, den_ref,
+                a_s, m_s, d_s, acc_num, acc_den, run_max, sems,
+                *, bn, be, hf):
+    i = pl.program_id(0)
+    start = off_ref[i]
+    end = off_ref[i + 1]
+    node0 = i * bn
+    # DMA starts must be sublane-aligned (8 rows for f32/int32); align down —
+    # leading extra edges belong to earlier nodes and never match membership
+    start_al = pl.multiple_of((start // 8) * 8, 8)
+    nchunks = (end - start_al + be - 1) // be
+
+    run_max[:] = jnp.full((8, hf), NEG_BIG, jnp.float32)
+    acc_den[:] = jnp.zeros((bn, hf), jnp.float32)
+    acc_num[:] = jnp.zeros((bn, hf), jnp.float32)
+
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (be, bn), 1)
+    edge_ids = jax.lax.broadcasted_iota(jnp.int32, (be, 1), 0)
+
+    def body(c, _):
+        base = pl.multiple_of(start_al + c * be, 8)
+        cp_a = pltpu.make_async_copy(alpha_hbm.at[pl.ds(base, be), :], a_s,
+                                     sems.at[0])
+        cp_m = pltpu.make_async_copy(m_hbm.at[pl.ds(base, be), :], m_s,
+                                     sems.at[1])
+        cp_d = pltpu.make_async_copy(dstb_hbm.at[pl.ds(base, be), :], d_s,
+                                     sems.at[2])
+        cp_a.start(); cp_m.start(); cp_d.start()
+        cp_a.wait(); cp_m.wait(); cp_d.wait()
+
+        valid = (base + edge_ids) < end                       # (BE, 1)
+        validf = valid.astype(jnp.float32)
+        local = jnp.min(d_s[:], axis=1, keepdims=True) - node0  # (BE, 1)
+        sel = jnp.where((local == col_ids) & valid, 1.0, 0.0)  # (BE, BN)
+
+        a = a_s[:]
+        chunk_max = jnp.max(jnp.where(valid, a, NEG_BIG), axis=0,
+                            keepdims=True)                    # (1, HF)
+        old = run_max[0:1, :]
+        new = jnp.maximum(old, chunk_max)
+        scale = jnp.exp(old - new)                            # (1, HF)
+        acc_den[:] = acc_den[:] * scale
+        acc_num[:] = acc_num[:] * scale
+        run_max[:] = jnp.broadcast_to(new, (8, hf))
+
+        e = jnp.exp(a - new) * validf                         # (BE, HF)
+        acc_den[:] += jax.lax.dot_general(
+            sel, e, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)               # (BN, HF)
+        acc_num[:] += jax.lax.dot_general(
+            sel, e * m_s[:], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
+        return 0
+
+    jax.lax.fori_loop(0, nchunks, body, 0)
+    den = acc_den[:]
+    out_ref[:] = acc_num[:] / (den + EPS)
+    den_ref[:] = den
+    max_ref[:] = jnp.broadcast_to(run_max[0:1, :], (bn, hf))
+
+
+def _bwd_kernel(meta_ref, dstb_ref, alpha_ref, m_ref, g_hbm, max_hbm,
+                den_hbm, out_hbm, dalpha_ref, dm_ref,
+                g_s, max_s, den_s, out_s, sems,
+                *, be, hf, span):
+    j = pl.program_id(0)
+    # aligned (host-side) first dst node of this edge block
+    n0 = pl.multiple_of(meta_ref[j], 8)
+    n_real = meta_ref[pl.num_programs(0)]
+
+    copies = []
+    for k, (hbm, vmem) in enumerate(((g_hbm, g_s), (max_hbm, max_s),
+                                     (den_hbm, den_s), (out_hbm, out_s))):
+        cp = pltpu.make_async_copy(hbm.at[pl.ds(n0, span), :], vmem,
+                                   sems.at[k])
+        cp.start()
+        copies.append(cp)
+    for cp in copies:
+        cp.wait()
+
+    edge_ids = jax.lax.broadcasted_iota(jnp.int32, (be, 1), 0)
+    valid = (j * be + edge_ids) < n_real                      # (BE, 1)
+    local = jnp.min(dstb_ref[:], axis=1, keepdims=True) - n0  # (BE, 1)
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (be, span), 1)
+    sel = jnp.where((local == col_ids) & valid, 1.0, 0.0)     # (BE, span)
+
+    def gather(node_vmem):
+        return jax.lax.dot_general(
+            sel, node_vmem[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)               # (BE, HF)
+
+    g_e = gather(g_s)
+    max_e = gather(max_s)
+    den_e = gather(den_s)
+    out_e = gather(out_s)
+    onseg = jnp.max(sel, axis=1, keepdims=True)               # (BE, 1)
+    p = jnp.exp(alpha_ref[:] - max_e) / (den_e + EPS) * onseg
+    dm_ref[:] = p * g_e
+    dalpha_ref[:] = p * g_e * (m_ref[:] - out_e)
+
+
+def _broadcast_dst(dst2):
+    return jnp.broadcast_to(dst2, (dst2.shape[0], 128))
+
+
+def _compute_offsets(edge_dst, n_real, num_nodes, bn):
+    nblocks = -(-num_nodes // bn)
+    bounds = jnp.arange(1, nblocks + 1, dtype=jnp.int32) * bn
+    off = jnp.searchsorted(edge_dst, bounds, side="left").astype(jnp.int32)
+    off = jnp.minimum(off, n_real)
+    return jnp.concatenate([jnp.zeros((1,), jnp.int32), off])
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def _edge_softmax_aggregate(alpha2, m2, dst2, n_real, num_nodes, bn, be,
+                            interpret):
+    out, _, _ = _fwd_impl(alpha2, m2, dst2, n_real, num_nodes, bn, be,
+                          interpret)
+    return out
+
+
+def _fwd_impl(alpha2, m2, dst2, n_real, num_nodes, bn, be, interpret):
+    e_tot, hf = alpha2.shape
+    nblocks = -(-num_nodes // bn)
+    n_pad = nblocks * bn
+    offsets = _compute_offsets(dst2[:, 0], n_real, num_nodes, bn)
+    # pad one extra chunk so trailing DMA windows never read out of bounds
+    alpha2 = jnp.pad(alpha2, ((0, be), (0, 0)))
+    m2 = jnp.pad(m2, ((0, be), (0, 0)))
+    dstb = _broadcast_dst(jnp.pad(dst2, ((0, be), (0, 0))))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nblocks,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 3,
+        out_specs=[pl.BlockSpec((bn, hf), lambda i, off: (i, 0),
+                                memory_space=pltpu.VMEM)] * 3,
+        scratch_shapes=[
+            pltpu.VMEM((be, hf), jnp.float32),
+            pltpu.VMEM((be, hf), jnp.float32),
+            pltpu.VMEM((be, 128), jnp.int32),
+            pltpu.VMEM((bn, hf), jnp.float32),
+            pltpu.VMEM((bn, hf), jnp.float32),
+            pltpu.VMEM((8, hf), jnp.float32),
+            pltpu.SemaphoreType.DMA((3,)),
+        ],
+    )
+    kernel = functools.partial(_fwd_kernel, bn=bn, be=be, hf=hf)
+    out, maxv, den = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((n_pad, hf), jnp.float32)] * 3,
+        interpret=interpret,
+    )(offsets, alpha2, m2, dstb)
+    return out[:num_nodes], maxv[:num_nodes], den[:num_nodes]
+
+
+def _vjp_fwd(alpha2, m2, dst2, n_real, num_nodes, bn, be, interpret):
+    out, maxv, den = _fwd_impl(alpha2, m2, dst2, n_real, num_nodes, bn, be,
+                               interpret)
+    return out, (alpha2, m2, dst2, n_real, maxv, den, out)
+
+
+def _vjp_bwd(num_nodes, bn, be, interpret, res, g):
+    alpha2, m2, dst2, n_real, maxv, den, out = res
+    e_tot, hf = alpha2.shape
+    # smaller blocks than fwd: the bwd holds 4 node-slice scratches + 4
+    # double-buffered edge blocks in VMEM at once
+    while be > 256 and e_tot % (be // 2) == 0:
+        be //= 2
+    # a sorted BE-edge block touches at most BE distinct nodes; +8 covers
+    # the sublane alignment of the node-slice DMA start
+    span = be + 8
+    nblocks = e_tot // be
+
+    starts = dst2[jnp.arange(nblocks) * be, 0].astype(jnp.int32)
+    starts = (starts // 8) * 8
+    meta = jnp.concatenate([starts, jnp.asarray([0], jnp.int32)])
+    meta = meta.at[-1].set(n_real)
+    dstb = _broadcast_dst(dst2)
+
+    def padn(x):
+        return jnp.pad(x, ((0, span), (0, 0)))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nblocks,),
+        in_specs=[
+            pl.BlockSpec((be, 128), lambda j, meta: (j, 0),
+                         memory_space=pltpu.VMEM),      # dst broadcast
+            pl.BlockSpec((be, hf), lambda j, meta: (j, 0),
+                         memory_space=pltpu.VMEM),      # alpha
+            pl.BlockSpec((be, hf), lambda j, meta: (j, 0),
+                         memory_space=pltpu.VMEM),      # m
+            pl.BlockSpec(memory_space=pl.ANY),          # g
+            pl.BlockSpec(memory_space=pl.ANY),          # max
+            pl.BlockSpec(memory_space=pl.ANY),          # den
+            pl.BlockSpec(memory_space=pl.ANY),          # out
+        ],
+        out_specs=[
+            pl.BlockSpec((be, hf), lambda j, meta: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((be, hf), lambda j, meta: (j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((span, hf), jnp.float32),
+            pltpu.VMEM((span, hf), jnp.float32),
+            pltpu.VMEM((span, hf), jnp.float32),
+            pltpu.VMEM((span, hf), jnp.float32),
+            pltpu.SemaphoreType.DMA((4,)),
+        ],
+    )
+    kernel = functools.partial(_bwd_kernel, be=be, hf=hf, span=span)
+    dalpha, dm = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((e_tot, hf), jnp.float32)] * 2,
+        interpret=interpret,
+    )(meta, dstb, alpha2, m2, padn(g), padn(maxv), padn(den), padn(out))
+    return dalpha, dm, None, None
+
+
+_edge_softmax_aggregate.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+def edge_softmax_aggregate(alpha, m, edge_dst, num_nodes, *, edge_mask=None,
+                           block_nodes: int = BLOCK_NODES,
+                           block_edges: int = BLOCK_EDGES,
+                           interpret: bool | None = None):
+    """Fused segment-softmax + weighted aggregate (Pallas TPU path).
+
+    Same contract as cgat_tpu.ops.attention.edge_softmax_aggregate (XLA
+    path). Requirements: edges sorted by ``edge_dst``; a False-suffix
+    ``edge_mask`` (padding at the end — the batch builder's layout).
+    Scalar attention (F == 1) and tiny feature dims fall back to XLA.
+    """
+    if interpret is None:
+        interpret = INTERPRET
+    e_tot, h, f = alpha.shape
+    hf = h * f
+    if f == 1 or hf % 128 != 0:
+        from ..attention import edge_softmax_aggregate as xla_impl
+        return xla_impl(alpha, m, edge_dst, num_nodes, edge_mask=edge_mask,
+                        backend="xla")
+    be = min(block_edges, e_tot)
+    n_real = (jnp.sum(edge_mask.astype(jnp.int32)) if edge_mask is not None
+              else jnp.asarray(e_tot, jnp.int32))
+    alpha2 = alpha.astype(jnp.float32).reshape(e_tot, hf)
+    m2 = m.astype(jnp.float32).reshape(e_tot, hf)
+    dst2 = edge_dst.astype(jnp.int32).reshape(e_tot, 1)
+    if e_tot % be:
+        # round the edge axis up to a whole number of blocks; padded rows sit
+        # beyond n_real so every kernel path masks them out
+        extra = be - e_tot % be
+        alpha2 = jnp.pad(alpha2, ((0, extra), (0, 0)))
+        m2 = jnp.pad(m2, ((0, extra), (0, 0)))
+        dst2 = jnp.pad(dst2, ((0, extra), (0, 0)),
+                       constant_values=num_nodes - 1)
+    out = _edge_softmax_aggregate(alpha2, m2, dst2, n_real, num_nodes,
+                                  block_nodes, be, interpret)
+    return out.reshape(num_nodes, h, f)

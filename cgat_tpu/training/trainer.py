@@ -78,6 +78,8 @@ class TrainerConfig:
     ckpt_dir: str = "tb_logs"
     run_name: str | None = None
     log_tensorboard: bool = False
+    # kernels: "auto" uses the fused Pallas path on TPU, XLA elsewhere
+    attention_backend: str = "auto"
     # parallelism
     n_devices: int = 1              # data-parallel devices (1 = single chip)
     edge_shards: int = 1            # edge-partition shards per replica
@@ -230,6 +232,11 @@ class Trainer:
         self.model = CGAtNet(model_cfg)
         self.criterion = L.make_loss(cfg.loss, cfg.robust_loss)
         self.rng = jax.random.key(cfg.seed)
+        from ..ops import attention as _att
+        backend = cfg.attention_backend
+        if backend == "auto":
+            backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+        _att.set_backend(backend)
 
         if graphs is not None:
             self._setup_data(graphs)

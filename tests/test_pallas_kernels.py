@@ -1,0 +1,89 @@
+"""Pallas fused segment-attention kernel vs XLA reference (interpret mode on
+CPU; the same code compiles with Mosaic on TPU)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from cgat_tpu.ops.attention import edge_softmax_aggregate as xla_op
+from cgat_tpu.ops.pallas.segment_attention import (
+    edge_softmax_aggregate as pallas_op,
+)
+
+
+def make_problem(rng, n_nodes=64, n_real_edges=900, e_tot=1024, h=2, f=128):
+    dst = np.sort(rng.integers(0, n_nodes, size=n_real_edges)).astype(np.int32)
+    dst = np.concatenate([dst, np.full(e_tot - n_real_edges, n_nodes - 1,
+                                       np.int32)])
+    mask = np.zeros(e_tot, bool)
+    mask[:n_real_edges] = True
+    alpha = rng.standard_normal((e_tot, h, f)).astype(np.float32) * 2
+    m = rng.standard_normal((e_tot, h, f)).astype(np.float32)
+    return (jnp.asarray(alpha), jnp.asarray(m), jnp.asarray(dst),
+            jnp.asarray(mask), n_nodes)
+
+
+def test_forward_matches_xla(rng):
+    alpha, m, dst, mask, n = make_problem(rng)
+    want = np.asarray(xla_op(alpha, m, dst, n, edge_mask=mask))
+    got = np.asarray(pallas_op(alpha, m, dst, n, edge_mask=mask,
+                               block_nodes=8, block_edges=256,
+                               interpret=True))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_forward_no_mask(rng):
+    alpha, m, dst, mask, n = make_problem(rng, n_real_edges=1024)
+    want = np.asarray(xla_op(alpha, m, dst, n))
+    got = np.asarray(pallas_op(alpha, m, dst, n, block_nodes=8,
+                               block_edges=256, interpret=True))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_empty_and_hub_nodes(rng):
+    """Some nodes with zero edges, one hub node with hundreds."""
+    n_nodes = 32
+    dst = np.concatenate([np.zeros(400, np.int32),
+                          np.full(300, 7, np.int32),
+                          np.sort(rng.integers(16, 31, size=324))]).astype(np.int32)
+    e_tot = 1024
+    alpha = rng.standard_normal((e_tot, 1, 128)).astype(np.float32)
+    m = rng.standard_normal((e_tot, 1, 128)).astype(np.float32)
+    want = np.asarray(xla_op(jnp.asarray(alpha), jnp.asarray(m),
+                             jnp.asarray(dst), n_nodes))
+    got = np.asarray(pallas_op(jnp.asarray(alpha), jnp.asarray(m),
+                               jnp.asarray(dst), n_nodes, block_nodes=8,
+                               block_edges=256, interpret=True))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+    # nodes 8..15 have no edges -> exactly zero
+    np.testing.assert_array_equal(got[8:16], 0.0)
+
+
+def test_gradients_match_xla(rng):
+    alpha, m, dst, mask, n = make_problem(rng, n_real_edges=700)
+
+    def loss_x(a, mm):
+        return jnp.sum(xla_op(a, mm, dst, n, edge_mask=mask) ** 2)
+
+    def loss_p(a, mm):
+        return jnp.sum(pallas_op(a, mm, dst, n, edge_mask=mask,
+                                 block_nodes=8, block_edges=256,
+                                 interpret=True) ** 2)
+
+    gx = jax.grad(loss_x, argnums=(0, 1))(alpha, m)
+    gp = jax.grad(loss_p, argnums=(0, 1))(alpha, m)
+    for a, b in zip(gp, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-5)
+
+
+def test_scalar_attention_falls_back(rng):
+    """F=1 uses the XLA path transparently."""
+    e_tot, h = 256, 4
+    dst = np.sort(rng.integers(0, 16, size=e_tot)).astype(np.int32)
+    alpha = jnp.asarray(rng.standard_normal((e_tot, h, 1)), jnp.float32)
+    m = jnp.asarray(rng.standard_normal((e_tot, h, 8)), jnp.float32)
+    got = pallas_op(alpha, m, jnp.asarray(dst), 16, interpret=True)
+    want = xla_op(alpha, m, jnp.asarray(dst), 16)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-6)
