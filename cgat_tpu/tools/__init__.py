@@ -1,0 +1,16 @@
+from . import analysis, annotate, embeddings, errors, sample, shards
+from .metropolis import MarkovChain
+from .periodic import MAX_Z, SYMBOL_TO_Z, symbol_to_z
+
+__all__ = [
+    "analysis",
+    "annotate",
+    "embeddings",
+    "errors",
+    "sample",
+    "shards",
+    "MarkovChain",
+    "MAX_Z",
+    "SYMBOL_TO_Z",
+    "symbol_to_z",
+]

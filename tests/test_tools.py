@@ -1,0 +1,149 @@
+"""Active-learning toolkit tests: sampling, error ranking, shard bookkeeping."""
+import os
+
+import numpy as np
+import pytest
+
+from cgat_tpu.tools import MarkovChain, sample, shards, symbol_to_z
+from cgat_tpu.tools.annotate import annotate_volume_and_ids
+from cgat_tpu.tools.embeddings import remove_batch_ids
+
+
+def make_prepared(n, id_offset=0, seed=0):
+    rng = np.random.default_rng(seed)
+    inputs = np.empty((3, n), dtype=object)
+    elements = ["Na", "Cl", "K", "O", "Fe"]
+    comps, batch_comp = [], []
+    for i in range(n):
+        na = int(rng.integers(2, 5))
+        inputs[0, i] = rng.integers(1, 5, (na, 4))
+        inputs[1, i] = np.repeat(np.arange(na)[:, None], 4, 1)
+        inputs[2, i] = rng.integers(0, na, (na, 4))
+        els = [elements[int(x)] for x in rng.integers(0, 5, na)]
+        comps.append(np.asarray(els, dtype=object))
+        cnt = {}
+        for e in els:
+            cnt[e] = cnt.get(e, 0) + 1
+        batch_comp.append(" ".join(f"{k}{v}" for k, v in cnt.items()))
+    return {
+        "input": inputs,
+        "batch_ids": [[f"{id_offset + i},225"] for i in range(n)],
+        "batch_comp": np.asarray(batch_comp, dtype=object),
+        "target": {"e_above_hull": rng.standard_normal(n)},
+        "comps": np.asarray(comps, dtype=object),
+    }
+
+
+def test_markov_chain_matches_distribution():
+    import random
+    random.seed(0)
+    chain = MarkovChain(lambda x: 1.0 if x > 0.5 else 0.25,
+                        lambda: random.random())
+    chain.step(5000)
+    arr = np.asarray(chain.chain)
+    frac_high = np.mean(arr > 0.5)
+    # equal-width regions with 1:0.25 density -> stationary high mass = 0.8
+    assert 0.75 < frac_high < 0.85
+
+
+def test_symbol_to_z():
+    assert symbol_to_z("H") == 1
+    assert symbol_to_z("Fe2") == 26
+    assert symbol_to_z("Og") == 118
+
+
+def test_element_correlation_and_distribution():
+    sets = [{1, 8}, {1, 8}, {1, 17}, {26, 8}]
+    corr = sample.element_correlation(sets, max_z=30)
+    assert corr[0, 7] == pytest.approx(2 / 3)   # H with O in 2 of 3 H-compounds
+    assert np.all(np.diag(corr) == 0)
+    dist = sample.element_distribution(corr)
+    assert dist(0) > 0
+
+
+def test_shard_roundtrip_and_sampling(tmp_path):
+    pool = str(tmp_path / "pool")
+    os.makedirs(pool)
+    for i in range(3):
+        shards.save_pickle(make_prepared(20, id_offset=i * 20, seed=i),
+                           shards.shard_path(i, pool))
+
+    ids, element_sets, stoich = sample.scan_pool(pool, exclude_ids={"0,225"})
+    assert len(ids) == 59  # one excluded
+    chosen = sample.random_sample(ids, 10, seed=1)
+    assert len(chosen) == 10
+
+    out = str(tmp_path / "al")
+    merged = sample.extract_sample(pool, out, chosen)
+    assert len(merged["batch_ids"]) == 10
+    # pool shards rewritten without the chosen entries
+    total = sum(len(shards.load_pickle(p)["batch_ids"])
+                for _, p in shards.iter_shards(out))
+    assert total == 50
+    # no chosen id left in the pool
+    remaining = set()
+    for _, p in shards.iter_shards(out):
+        remaining |= set(shards.entry_ids(shards.load_pickle(p)))
+    assert not (remaining & chosen)
+
+
+def test_metropolis_sample_balanced(tmp_path):
+    pool = str(tmp_path / "pool")
+    os.makedirs(pool)
+    shards.save_pickle(make_prepared(60, seed=3), shards.shard_path(0, pool))
+    ids, element_sets, stoich = sample.scan_pool(pool)
+    chosen = sample.metropolis_sample(ids, element_sets, stoich, 10, seed=2)
+    assert 0 < len(chosen) <= 10
+
+
+def test_error_ranking(tmp_path):
+    import csv
+    pool = str(tmp_path / "pool")
+    os.makedirs(os.path.join(pool, "temp"))
+    for i in range(2):
+        d = make_prepared(10, id_offset=i * 10, seed=i)
+        shards.save_pickle(d, shards.shard_path(i, pool))
+        from cgat_tpu.tools.errors import error_csv_path
+        with open(error_csv_path(i, pool), "w", newline="") as f:
+            w = csv.writer(f)
+            w.writerow(["batch_ids", "errors"])
+            for j, b in enumerate(shards.entry_ids(d)):
+                w.writerow([b, float(i * 10 + j)])
+    from cgat_tpu.tools.errors import get_highest_errors
+    picked = get_highest_errors(pool, n=5)
+    assert len(picked["batch_ids"]) == 5
+    # highest errors = last ids of second shard
+    got = {shards.batch_id_str(b) for b in picked["batch_ids"]}
+    assert got == {f"{k},225" for k in (15, 16, 17, 18, 19)}
+    total = sum(len(shards.load_pickle(p)["batch_ids"])
+                for _, p in shards.iter_shards(pool))
+    assert total == 15
+
+
+def test_annotate_volume_and_ids():
+    entries = [
+        {"lattice": np.eye(3) * 4.0,
+         "frac_coords": np.zeros((2, 3)),
+         "species": ["Na", "Cl"], "data": {"id": "abc-spg225-x"}},
+        {"lattice": np.eye(3) * 4.0,
+         "frac_coords": np.zeros((1, 3)),
+         "species": ["Na"], "data": {}},   # unary -> dropped
+    ]
+    kept, next_id = annotate_volume_and_ids(entries)
+    assert len(kept) == 1 and next_id == 1
+    assert kept[0]["data"]["id"] == "0,225"
+    assert kept[0]["data"]["volume"] == pytest.approx(32.0)
+
+
+def test_remove_batch_ids_embedding_layout():
+    d = {
+        "input": np.arange(12).reshape(4, 3).astype(np.float32),
+        "batch_ids": [["0,1"], ["1,1"], ["2,1"], ["3,1"]],
+        "batch_comp": np.asarray(["a", "b", "c", "d"], dtype=object),
+        "target": {"e": np.arange(4.0)},
+        "comps": np.asarray(["a", "b", "c", "d"], dtype=object),
+    }
+    out = remove_batch_ids(d, {"1,1", "3,1"})
+    assert [b[0] for b in out["batch_ids"]] == ["0,1", "2,1"]
+    assert out["input"].shape == (2, 3)
+    np.testing.assert_array_equal(out["target"]["e"], [0.0, 2.0])
