@@ -39,14 +39,26 @@ def _candidate_images(lattice: np.ndarray, r: float) -> np.ndarray:
 
 
 def periodic_neighbors(lattice, frac_coords, *, radius: float = 18.0,
-                       max_nbr: int = 24):
+                       max_nbr: int = 24, use_native: bool | None = None):
     """24-NN periodic neighbor lists.
 
     Returns ``(nbr_idx, shell, dist)`` each ``(n, max_nbr)`` or ``None`` when
     some atom has fewer than ``max_nbr`` neighbors within ``radius``.
     The search starts from a density-based radius and grows until enough
     neighbors are found (identical output to a full radius-18 search).
+
+    Dispatches to the C++ core (cgat_tpu.native) when built; the numpy path
+    below is the reference implementation with identical output.
     """
+    if use_native is not False:
+        try:
+            from .. import native
+            if native.available():
+                return native.periodic_knn_native(
+                    lattice, frac_coords, radius=radius, max_nbr=max_nbr)
+        except Exception:
+            if use_native:
+                raise
     A = np.asarray(lattice, np.float64)
     frac = np.asarray(frac_coords, np.float64) % 1.0
     n = len(frac)

@@ -221,20 +221,25 @@ class CGAtNet(nn.Module):
         elem_fea_0 = elem_fea
         edge_attr_0 = edge_attr
 
+        # rematerialise MP layers in the backward pass: the per-node
+        # hypernetwork weight tensors (N, out, in) dominate activation memory
+        node_cls = nn.remat(GATConvNodes) if cfg.remat else GATConvNodes
+        edge_cls = nn.remat(GATConvEdges) if cfg.remat else GATConvEdges
+
         def node_layer(i):
-            return GATConvNodes(cfg.elem_fea_len, cfg.elem_fea_len,
-                                cfg.nbr_embedding_size, cfg.msg_heads,
-                                vector_attention=cfg.vector_attention,
-                                first=(i == 0), dropout=cfg.dropout, dtype=dt,
-                                name=f"graph_{i}_Node")
+            return node_cls(cfg.elem_fea_len, cfg.elem_fea_len,
+                            cfg.nbr_embedding_size, cfg.msg_heads,
+                            vector_attention=cfg.vector_attention,
+                            first=(i == 0), dropout=cfg.dropout, dtype=dt,
+                            name=f"graph_{i}_Node")
 
         def edge_layer(i):
-            return GATConvEdges(cfg.elem_fea_len, cfg.nbr_embedding_size,
-                                cfg.nbr_embedding_size, cfg.msg_heads,
-                                vector_attention=cfg.vector_attention,
-                                first=(i == 0), no_hyper=cfg.no_hyper,
-                                dropout=cfg.dropout, dtype=dt,
-                                name=f"graph_{i}_Edge")
+            return edge_cls(cfg.elem_fea_len, cfg.nbr_embedding_size,
+                            cfg.nbr_embedding_size, cfg.msg_heads,
+                            vector_attention=cfg.vector_attention,
+                            first=(i == 0), no_hyper=cfg.no_hyper,
+                            dropout=cfg.dropout, dtype=dt,
+                            name=f"graph_{i}_Edge")
 
         for i in range(cfg.n_graph):
             if cfg.update_edges:

@@ -112,24 +112,20 @@ def _fwd_kernel(off_ref, alpha_hbm, m_hbm, dstb_hbm,
     max_ref[:] = jnp.broadcast_to(run_max[0:1, :], (bn, hf))
 
 
-def _bwd_kernel(meta_ref, dstb_ref, alpha_ref, m_ref, g_hbm, max_hbm,
-                den_hbm, out_hbm, dalpha_ref, dm_ref,
-                g_s, max_s, den_s, out_s, sems,
+def _bwd_kernel(meta_ref, dstb_ref, alpha_ref, m_ref, nodecat_hbm,
+                dalpha_ref, dm_ref, nodecat_s, sems,
                 *, be, hf, span):
     j = pl.program_id(0)
     # aligned (host-side) first dst node of this edge block
     n0 = pl.multiple_of(meta_ref[j], 8)
     n_real = meta_ref[pl.num_programs(0)]
 
-    copies = []
-    for k, (hbm, vmem) in enumerate(((g_hbm, g_s), (max_hbm, max_s),
-                                     (den_hbm, den_s), (out_hbm, out_s))):
-        cp = pltpu.make_async_copy(hbm.at[pl.ds(n0, span), :], vmem,
-                                   sems.at[k])
-        cp.start()
-        copies.append(cp)
-    for cp in copies:
-        cp.wait()
+    # one DMA + one gather matmul for all four per-node arrays
+    # [g | max | den | out] concatenated on the feature axis
+    cp = pltpu.make_async_copy(nodecat_hbm.at[pl.ds(n0, span), :],
+                               nodecat_s, sems.at[0])
+    cp.start()
+    cp.wait()
 
     edge_ids = jax.lax.broadcasted_iota(jnp.int32, (be, 1), 0)
     valid = (j * be + edge_ids) < n_real                      # (BE, 1)
@@ -137,16 +133,14 @@ def _bwd_kernel(meta_ref, dstb_ref, alpha_ref, m_ref, g_hbm, max_hbm,
     col_ids = jax.lax.broadcasted_iota(jnp.int32, (be, span), 1)
     sel = jnp.where((local == col_ids) & valid, 1.0, 0.0)     # (BE, span)
 
-    def gather(node_vmem):
-        return jax.lax.dot_general(
-            sel, node_vmem[:], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)               # (BE, HF)
-
-    g_e = gather(g_s)
-    max_e = gather(max_s)
-    den_e = gather(den_s)
-    out_e = gather(out_s)
+    cat_e = jax.lax.dot_general(
+        sel, nodecat_s[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)                  # (BE, 4*HF)
+    g_e = cat_e[:, 0 * hf:1 * hf]
+    max_e = cat_e[:, 1 * hf:2 * hf]
+    den_e = cat_e[:, 2 * hf:3 * hf]
+    out_e = cat_e[:, 3 * hf:4 * hf]
     onseg = jnp.max(sel, axis=1, keepdims=True)               # (BE, 1)
     p = jnp.exp(alpha_ref[:] - max_e) / (den_e + EPS) * onseg
     dm_ref[:] = p * g_e
@@ -233,8 +227,8 @@ def _vjp_bwd(num_nodes, bn, be, interpret, res, g):
     meta = meta.at[-1].set(n_real)
     dstb = _broadcast_dst(dst2)
 
-    def padn(x):
-        return jnp.pad(x, ((0, span), (0, 0)))
+    nodecat = jnp.concatenate([g, maxv, den, out], axis=1)    # (N, 4*HF)
+    nodecat = jnp.pad(nodecat, ((0, span), (0, 0)))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -246,10 +240,7 @@ def _vjp_bwd(num_nodes, bn, be, interpret, res, g):
                          memory_space=pltpu.VMEM),      # alpha
             pl.BlockSpec((be, hf), lambda j, meta: (j, 0),
                          memory_space=pltpu.VMEM),      # m
-            pl.BlockSpec(memory_space=pl.ANY),          # g
-            pl.BlockSpec(memory_space=pl.ANY),          # max
-            pl.BlockSpec(memory_space=pl.ANY),          # den
-            pl.BlockSpec(memory_space=pl.ANY),          # out
+            pl.BlockSpec(memory_space=pl.ANY),          # [g|max|den|out]
         ],
         out_specs=[
             pl.BlockSpec((be, hf), lambda j, meta: (j, 0),
@@ -258,11 +249,8 @@ def _vjp_bwd(num_nodes, bn, be, interpret, res, g):
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((span, hf), jnp.float32),
-            pltpu.VMEM((span, hf), jnp.float32),
-            pltpu.VMEM((span, hf), jnp.float32),
-            pltpu.VMEM((span, hf), jnp.float32),
-            pltpu.SemaphoreType.DMA((4,)),
+            pltpu.VMEM((span, 4 * hf), jnp.float32),
+            pltpu.SemaphoreType.DMA((1,)),
         ],
     )
     kernel = functools.partial(_bwd_kernel, be=be, hf=hf, span=span)
@@ -271,7 +259,7 @@ def _vjp_bwd(num_nodes, bn, be, interpret, res, g):
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((e_tot, hf), jnp.float32)] * 2,
         interpret=interpret,
-    )(meta, dstb, alpha2, m2, padn(g), padn(maxv), padn(den), padn(out))
+    )(meta, dstb, alpha2, m2, nodecat)
     return dalpha, dm, None, None
 
 
