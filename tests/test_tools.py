@@ -147,3 +147,18 @@ def test_remove_batch_ids_embedding_layout():
     assert [b[0] for b in out["batch_ids"]] == ["0,1", "2,1"]
     assert out["input"].shape == (2, 3)
     np.testing.assert_array_equal(out["target"]["e"], [0.0, 2.0])
+
+
+def test_get_composition_patterns():
+    """Mirrors the reference's only assert-based test
+    (Utilities/get_additional_data.py:42-67)."""
+    from cgat_tpu.tools.additional_data import get_composition
+    cases = {
+        "/x/binaries/A2B13/annotated/batch-000.json.bz2": "A2B13",
+        "/x/binaries/AB2/annotated/batch-000.json.bz2": "AB2",
+        "/x/binaries/AB/annotated/batch-000.json.bz2": "AB",
+        "/x/ternaries/A2B2C5/annotated/batch-000.json.bz2": "A2B2C5",
+        "/x/ternaries/A3B4C12/annotated/batch-000.json.bz2": "A3B4C12",
+    }
+    for path, want in cases.items():
+        assert get_composition(path) == want
