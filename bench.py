@@ -31,9 +31,6 @@ BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 
 
 def build():
-    from cgat_tpu.ops import attention as _att
-    if jax.default_backend() == "tpu":
-        _att.set_backend("pallas")
     from cgat_tpu.data import collate
     from cgat_tpu.data.synthetic import random_graphs
     from cgat_tpu.models import CGATConfig, CGAtNet

@@ -110,3 +110,20 @@ def test_parallel_loader_group_shapes():
     for stacked in loader:
         assert stacked.nodes.shape[0] == 4
         assert stacked.target.shape == (4, 2)
+
+
+def test_trainer_fit_multi_device(tmp_path):
+    """Trainer.fit with n_devices>1 runs the parallel path end to end."""
+    from cgat_tpu.models import CGATConfig
+    from cgat_tpu.training import Trainer, TrainerConfig
+    graphs = random_graphs(1, 32, n_atoms_range=(3, 6), max_nbr=4,
+                           orig_fea=12)
+    cfg = TrainerConfig(batch_size=2, epochs=2, node_bucket=8,
+                        check_val_every_n_epoch=2, num_comp_slots=8,
+                        max_nbr=4, learning_rate=1e-3, n_devices=4,
+                        edge_shards=2, ckpt_dir=str(tmp_path))
+    trainer = Trainer(cfg, CGATConfig(**TINY), graphs)
+    state = trainer.fit()
+    import os
+    assert os.path.exists(os.path.join(trainer.last_log_dir, "checkpoints",
+                                       "best.json"))
