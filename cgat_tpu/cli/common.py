@@ -19,6 +19,12 @@ def add_model_args(p: argparse.ArgumentParser):
     p.add_argument("--data-path", type=str, default="data/")
     p.add_argument("--fea-path", type=str, default=None,
                    help="element embedding JSON (default: bundled matscholar)")
+    p.add_argument("--version", type=str, default="",
+                   help="module providing a CGAtNet class for model variants "
+                        "(reference --version plug-in mechanism)")
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialise MP layers (for large batches)")
+    p.add_argument("--profile-epoch", type=int, default=-1)
     p.add_argument("--nbr-embedding-size", type=int, default=128,
                    help="size of edge embedding (reference declared 512 but "
                         "never forwarded it; effective value was 128)")
@@ -113,6 +119,8 @@ def configs_from_args(args) -> tuple[TrainerConfig, CGATConfig]:
         log_tensorboard=args.tensorboard,
         n_devices=getattr(args, "devices", 1),
         edge_shards=getattr(args, "edge_shards", 1),
+        version=args.version,
+        profile_epoch=args.profile_epoch,
     )
     mcfg = CGATConfig(
         orig_elem_fea_len=200, elem_fea_len=args.atom_fea_len,
@@ -123,6 +131,6 @@ def configs_from_args(args) -> tuple[TrainerConfig, CGATConfig]:
         vector_attention=args.vector_attention,
         global_vector_attention=args.global_vector_attention,
         n_graph_roost=args.n_graph_roost, no_hyper=not args.hyper_edges,
-        compute_dtype=args.precision,
+        compute_dtype=args.precision, remat=args.remat,
     )
     return tcfg, mcfg

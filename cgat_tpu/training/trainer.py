@@ -80,6 +80,12 @@ class TrainerConfig:
     log_tensorboard: bool = False
     # kernels: "auto" uses the fused Pallas path on TPU, XLA elsewhere
     attention_backend: str = "auto"
+    # observability
+    profile_epoch: int = -1      # capture a jax.profiler trace of this epoch
+    nan_guard: bool = True       # stop on non-finite loss
+    # model plug-in: import this module and use its CGAtNet class, like the
+    # reference's --version dynamic import (lightning_module.py:161-176)
+    version: str = ""
     # parallelism
     n_devices: int = 1              # data-parallel devices (1 = single chip)
     edge_shards: int = 1            # edge-partition shards per replica
@@ -229,7 +235,11 @@ class Trainer:
                  std: float | None = None):
         self.cfg = cfg
         self.model_cfg = model_cfg
-        self.model = CGAtNet(model_cfg)
+        if cfg.version:
+            import importlib
+            self.model = importlib.import_module(cfg.version).CGAtNet(model_cfg)
+        else:
+            self.model = CGAtNet(model_cfg)
         self.criterion = L.make_loss(cfg.loss, cfg.robust_loss)
         self.rng = jax.random.key(cfg.seed)
         from ..ops import attention as _att
@@ -359,20 +369,27 @@ class Trainer:
         for epoch in range(epochs):
             state = state.replace(opt_state=set_learning_rate(
                 state.opt_state, lr_of_epoch(epoch, val_mae)))
-            t0 = time.time()
+            from ..utils.profiling import ThroughputMeter, trace
+            meter = ThroughputMeter()
             agg, nb = None, 0
-            for batch in train_loader:
-                state, metrics = train_step(state, batch)
-                agg = metrics if agg is None else jax.tree.map(
-                    jnp.add, agg, metrics)
-                nb += 1
+            with trace(os.path.join(log_dir, "profile")
+                       if epoch == cfg.profile_epoch else None):
+                for batch in train_loader:
+                    state, metrics = train_step(state, batch)
+                    meter.update(batch)
+                    agg = metrics if agg is None else jax.tree.map(
+                        jnp.add, agg, metrics)
+                    nb += 1
             if nb == 0:
                 raise RuntimeError("training split smaller than one batch")
             train_m = {k: float(v) / nb for k, v in agg.items()}
-            dt = time.time() - t0
+            if cfg.nan_guard and not all(
+                    np.isfinite(v) for v in train_m.values()):
+                raise FloatingPointError(
+                    f"non-finite training metrics at epoch {epoch}: {train_m}")
             logger.log(int(state.step), epoch=epoch,
                        train_loss=train_m["loss"], train_mae=train_m["mae"],
-                       train_rmse=train_m["rmse"], epoch_time=dt)
+                       train_rmse=train_m["rmse"], **meter.rates())
 
             if (epoch + 1) % cfg.check_val_every_n_epoch == 0 and self.val_graphs:
                 val_m = self.evaluate_split(state.params, self.val_graphs,
