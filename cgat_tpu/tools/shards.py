@@ -100,6 +100,52 @@ def merge_prepared(dicts: list[dict]) -> dict:
     return out
 
 
+def get_batch_ids(paths) -> set[str]:
+    """All batch ids across one or many prepared files
+    (Utilities/adjust_data.py:10-22)."""
+    if isinstance(paths, str):
+        paths = [paths]
+    ids: set[str] = set()
+    for p in paths:
+        ids |= {batch_id_str(b) for b in load_pickle(p)["batch_ids"]}
+    return ids
+
+
+def remove_batch_ids(data: dict, batch_ids: set, *,
+                     modify_batch_ids: bool = True) -> dict:
+    """Drop prepared-dict entries by id (Utilities/adjust_data.py:25-54,
+    prepare_active_learning.py:38-47); mutates and returns ``data``."""
+    if not batch_ids:
+        return data
+    if not modify_batch_ids:
+        batch_ids = set(batch_ids)
+    idx = []
+    for i, b in enumerate(data["batch_ids"]):
+        bid = batch_id_str(b)
+        if bid in batch_ids:
+            idx.append(i)
+            batch_ids.remove(bid)
+    return remove_entries(data, idx)
+
+
+def get_samples_from_unprepared_data(batch_ids: set, unprepared_files,
+                                     *, modify_batch_ids: bool = True):
+    """Collect raw structure entries matching ids across unprepared shards
+    (Utilities/adjust_data.py:57-68)."""
+    if not modify_batch_ids:
+        batch_ids = set(batch_ids)
+    sample = []
+    for file in unprepared_files:
+        for entry in load_pickle(file):
+            d = entry.get("data", {}) if isinstance(entry, dict) \
+                else getattr(entry, "data", {})
+            eid = str(d.get("id"))
+            if eid in batch_ids:
+                sample.append(entry)
+                batch_ids.remove(eid)
+    return sample
+
+
 def iter_shards(path: str, n_shards: int | None = None, prefix: str = "data",
                 shard_size: int = 10000):
     """Yield (index, shard_path) for existing shards."""

@@ -296,7 +296,17 @@ class Trainer:
         if example_batch is None:
             example_batch = self._example_batch()
         if params is None:
-            params = self.model.init(self.rng, example_batch)["params"]
+            # Round-trip freshly initialised params through the host and drop
+            # the init executable: keeping init-produced arrays/caches alive
+            # makes subsequent donated train steps ~20x slower on the TPU
+            # runtime (measured; see bench.py).
+            import gc
+            params_dev = self.model.init(self.rng, example_batch)["params"]
+            params_host = jax.tree.map(np.asarray, params_dev)
+            del params_dev
+            gc.collect()
+            jax.clear_caches()
+            params = jax.tree.map(jnp.asarray, params_host)
         n_params = sum(p.size for p in jax.tree.leaves(params))
         print(f"this model has {n_params:d} parameters")
         self.tx = make_optimizer(self.cfg, params)

@@ -144,3 +144,27 @@ def test_only_residual_freezes_hidden(tmp_path):
                        after["embedding"]["kernel"])
     assert not np.allclose(before["output_nn"]["fc_out"]["kernel"],
                            after["output_nn"]["fc_out"]["kernel"])
+
+
+def test_learns_composition_signal(tmp_path):
+    """Generalisation: targets are a linear function of composition; the
+    model must beat the predict-the-mean baseline on held-out crystals."""
+    rng = np.random.default_rng(5)
+    graphs = random_graphs(5, 120, n_atoms_range=(3, 6), max_nbr=4,
+                           orig_fea=16)
+    v = rng.standard_normal(16).astype(np.float32)
+    for g in graphs:
+        g.target = float(g.comp_weight @ (g.comp_fea @ v))
+    train, held = graphs[:100], graphs[100:]
+
+    cfg = TrainerConfig(batch_size=10, epochs=30, node_bucket=8, max_nbr=4,
+                        num_comp_slots=8, learning_rate=5e-3, clr=False,
+                        val_size=0.05, test_size=0.05,
+                        check_val_every_n_epoch=1000,  # skip val for speed
+                        ckpt_dir=str(tmp_path))
+    trainer = Trainer(cfg, CGATConfig(**TINY_MODEL), train)
+    state = trainer.fit()
+    metrics = trainer.evaluate_split(state.params, held)
+    baseline = float(np.mean(np.abs(
+        np.asarray([g.target for g in held]) - trainer.mean)))
+    assert metrics["mae"] < 0.5 * baseline, (metrics, baseline)
