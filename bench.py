@@ -44,16 +44,10 @@ def build():
     n_real_edges = int(np.asarray(jnp.sum(batch.edge_mask)))
 
     model = CGAtNet(cfg)
-    # Keeping the init executable + its output arrays alive makes subsequent
-    # train steps ~20x slower on this runtime; round-trip the params through
-    # the host and drop every trace of init before building the train state.
-    import gc
-    params_dev = model.init(jax.random.key(0), batch)["params"]
-    params_host = jax.tree.map(np.asarray, params_dev)
-    del params_dev
-    gc.collect()
-    jax.clear_caches()
-    params = jax.tree.map(jnp.asarray, params_host)
+    # host-side numpy init: instant, and avoids the axon runtime pathology
+    # where executing the init program slows all later steps ~20x
+    from cgat_tpu.models.host_init import init_params_host
+    params = jax.tree.map(jnp.asarray, init_params_host(model, batch, seed=0))
     tcfg = TrainerConfig(optim="AdamW", learning_rate=1.25e-4)
     tx = make_optimizer(tcfg)
     state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
@@ -64,19 +58,21 @@ def build():
 
 
 def main():
+    # The axon TPU runtime DEFERS execution until a value is actually read
+    # back — block_until_ready alone returns enqueue-time fiction. Force
+    # synchronous-execution mode up front and read a metric after every timed
+    # loop so the chain really ran.
+    _ = float(jnp.sum(jnp.ones((4,))))
     step, state, batch, n_edges = build()
-    # warmup: first call compiles; a second/third absorb donation-layout
-    # recompiles so the timed region is steady state
-    for _ in range(3):
-        state, m = step(state, batch)
-        jax.block_until_ready(m)
-    n_iters = 50
+    state, m = step(state, batch)
+    _ = float(m["loss"])  # compile + sync
+    n_iters = 20
     best = float("inf")
     for _trial in range(3):
         t0 = time.perf_counter()
         for _ in range(n_iters):
             state, m = step(state, batch)
-        jax.block_until_ready(m)
+        _ = float(m["loss"])  # forces execution of the whole chain
         best = min(best, time.perf_counter() - t0)
     edges_per_sec = n_edges * n_iters / best
 

@@ -296,16 +296,13 @@ class Trainer:
         if example_batch is None:
             example_batch = self._example_batch()
         if params is None:
-            # Round-trip freshly initialised params through the host and drop
-            # the init executable: keeping init-produced arrays/caches alive
-            # makes subsequent donated train steps ~20x slower on the TPU
-            # runtime (measured; see bench.py).
-            import gc
-            params_dev = self.model.init(self.rng, example_batch)["params"]
-            params_host = jax.tree.map(np.asarray, params_dev)
-            del params_dev
-            gc.collect()
-            jax.clear_caches()
+            # Host-side numpy init (cgat_tpu.models.host_init): same
+            # distributions as model.init without compiling/executing the
+            # giant init program — which is both slow to compile and, on the
+            # axon TPU runtime, degrades all subsequent step dispatches ~20x.
+            from ..models.host_init import init_params_host
+            params_host = init_params_host(self.model, example_batch,
+                                           seed=self.cfg.seed)
             params = jax.tree.map(jnp.asarray, params_host)
         n_params = sum(p.size for p in jax.tree.leaves(params))
         print(f"this model has {n_params:d} parameters")
