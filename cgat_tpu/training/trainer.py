@@ -83,6 +83,9 @@ class TrainerConfig:
     # observability
     profile_epoch: int = -1      # capture a jax.profiler trace of this epoch
     nan_guard: bool = True       # stop on non-finite loss
+    # fuse this many train steps into one device dispatch (lax.scan);
+    # amortises dispatch latency, single-device path only
+    steps_per_dispatch: int = 1
     # model plug-in: import this module and use its CGAtNet class, like the
     # reference's --version dynamic import (lightning_module.py:161-176)
     version: str = ""
@@ -182,6 +185,37 @@ def make_train_step(model: CGAtNet, tx, criterion, mean: float, std: float,
     return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
 
 
+def make_multi_step(model: CGAtNet, tx, criterion, mean: float, std: float,
+                    donate: bool = True):
+    """K train steps fused into ONE dispatch via lax.scan over a stacked
+    batch (leading axis = step). Amortises per-dispatch overhead — essential
+    on runtimes with high dispatch latency (e.g. the axon TPU tunnel, ~43 ms
+    per dispatch) and standard practice for small-step models on TPU.
+    Returns per-chunk mean metrics (exact when all steps carry equal graph
+    counts, which drop_last batching guarantees)."""
+
+    def one_step(state: TrainState, batch: CrystalBatch):
+        def loss_fn(params):
+            out = model.apply({"params": params}, batch)
+            output, log_std = out[:, 0], out[:, 1]
+            loss, m = _metrics(output, log_std, batch.target,
+                               batch.graph_mask, mean, std, criterion)
+            return loss, m
+
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return state.replace(step=state.step + 1, params=params,
+                             opt_state=opt_state), metrics
+
+    def multi(state: TrainState, stacked: CrystalBatch):
+        state, ms = jax.lax.scan(one_step, state, stacked)
+        return state, jax.tree.map(jnp.mean, ms)
+
+    return jax.jit(multi, donate_argnums=(0,) if donate else ())
+
+
 def make_eval_step(model: CGAtNet, criterion, mean: float, std: float):
     def step_fn(params, batch: CrystalBatch):
         out = model.apply({"params": params}, batch)
@@ -245,11 +279,9 @@ class Trainer:
         from ..ops import attention as _att
         backend = cfg.attention_backend
         if backend == "auto":
-            # measured on v5e: the fused Pallas kernel wins the standalone op
-            # (3x) and the forward pass, but XLA's scatter wins the full
-            # fwd+bwd train step at current sizes; default to XLA, Pallas
-            # stays opt-in (attention_backend="pallas")
-            backend = "xla"
+            # honest sync-mode measurement on v5e: the fused Pallas kernel
+            # halves the full train step (39.5 vs 82.7 ms/step at batch 64)
+            backend = "pallas" if jax.default_backend() == "tpu" else "xla"
         _att.set_backend(backend)
 
         if graphs is not None:
@@ -348,6 +380,17 @@ class Trainer:
             train_step = lambda s, b: pstep(s, shard(b))
             train_loader = ParallelLoader(
                 self.train_graphs, cfg.batch_size, mesh.shape["dp"],
+                shuffle=True, seed=cfg.seed, max_nbr=cfg.max_nbr,
+                node_bucket=cfg.node_bucket,
+                num_comp_slots=cfg.num_comp_slots or 12)
+        elif cfg.steps_per_dispatch > 1:
+            # fuse K steps per dispatch: stacked batches via the same grouped
+            # loader the dp path uses, consumed by lax.scan instead of a mesh
+            from ..parallel import ParallelLoader
+            train_step = make_multi_step(self.model, self.tx, self.criterion,
+                                         self.mean, self.std)
+            train_loader = ParallelLoader(
+                self.train_graphs, cfg.batch_size, cfg.steps_per_dispatch,
                 shuffle=True, seed=cfg.seed, max_nbr=cfg.max_nbr,
                 node_bucket=cfg.node_bucket,
                 num_comp_slots=cfg.num_comp_slots or 12)

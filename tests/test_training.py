@@ -168,3 +168,43 @@ def test_learns_composition_signal(tmp_path):
     baseline = float(np.mean(np.abs(
         np.asarray([g.target for g in held]) - trainer.mean)))
     assert metrics["mae"] < 0.5 * baseline, (metrics, baseline)
+
+
+def test_multi_step_scan_matches_single_steps(tmp_path):
+    """K steps fused via lax.scan == K sequential single steps."""
+    from cgat_tpu.parallel import ParallelLoader
+    from cgat_tpu.training.trainer import (TrainState, make_multi_step,
+                                           make_train_step)
+    trainer, graphs = make_trainer(ckpt_dir=str(tmp_path))
+    state = trainer.init_state()
+    loader = ParallelLoader(graphs, 4, 3, max_nbr=4, node_bucket=8,
+                            num_comp_slots=8)
+    stacked = next(iter(loader))
+    mstep = make_multi_step(trainer.model, trainer.tx, trainer.criterion,
+                            trainer.mean, trainer.std, donate=False)
+    new_state, metrics = mstep(state, stacked)
+
+    sstep = make_train_step(trainer.model, trainer.tx, trainer.criterion,
+                            trainer.mean, trainer.std, donate=False)
+    s2 = state
+    ms = []
+    for k in range(3):
+        s2, m = sstep(s2, jax.tree.map(lambda x: x[k], stacked))
+        ms.append(m)
+    np.testing.assert_allclose(float(metrics["loss"]),
+                               np.mean([float(m["loss"]) for m in ms]),
+                               rtol=1e-4)
+    # early AdamW updates are ~g/|g|: float-level grad differences shift
+    # params by O(lr); compare with a lr-scale absolute tolerance
+    for a, b in zip(jax.tree.leaves(new_state.params),
+                    jax.tree.leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-2, atol=2e-3)
+
+
+def test_fit_with_steps_per_dispatch(tmp_path):
+    trainer, _ = make_trainer(ckpt_dir=str(tmp_path))
+    trainer.cfg.steps_per_dispatch = 2
+    state = trainer.fit(epochs=2)
+    import os
+    assert os.path.exists(os.path.join(trainer.last_log_dir, "metrics.jsonl"))
