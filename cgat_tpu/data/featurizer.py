@@ -125,11 +125,49 @@ def _to_structure_dict(entry):
         raise TypeError(f"unsupported structure entry: {type(entry)}") from e
 
 
+def periodic_neighbors_ragged(lattice, frac_coords, *, radius: float = 18.0,
+                              max_nbr: int = 24):
+    """Ragged variant: per-atom lists of up to ``max_nbr`` neighbors within
+    ``radius`` — atoms may have fewer (the legacy featurizer's behaviour,
+    reference CGAT/test_prepare_data.py:193-222). Returns per-atom lists
+    (nbr_idx, shell, dist)."""
+    A = np.asarray(lattice, np.float64)
+    frac = np.asarray(frac_coords, np.float64) % 1.0
+    n = len(frac)
+    cart = frac @ A
+    images = _candidate_images(A, radius)
+    offsets = images @ A
+    nbr_l, shell_l, dist_l = [], [], []
+    for i in range(n):
+        diff = cart[None, :, :] + offsets[:, None, :] - cart[i]
+        d = np.sqrt(np.sum(diff * diff, axis=-1)).reshape(-1)
+        j_of = np.broadcast_to(np.arange(n)[None, :],
+                               (len(offsets), n)).reshape(-1)
+        sel = (d <= radius) & (d > 1e-8)
+        d_sel, j_sel = d[sel], j_of[sel]
+        order = np.argsort(d_sel, kind="stable")[:max_nbr]
+        dd, jj = d_sel[order], j_sel[order]
+        sh = np.empty(len(dd), np.int64)
+        index, prev = 1, dd[0] if len(dd) else 0.0
+        for k in range(len(dd)):
+            if dd[k] > prev + 1e-8:
+                prev = dd[k]
+                index += 1
+            sh[k] = index
+        nbr_l.append(jj.astype(np.int64))
+        shell_l.append(sh)
+        dist_l.append(dd)
+    return nbr_l, shell_l, dist_l
+
+
 def featurise_entry(entry, *, radius: float = 18.0, max_nbr: int = 24,
-                    target_property: Sequence[str] = ("e_above_hull", "e_form")):
+                    target_property: Sequence[str] = ("e_above_hull", "e_form"),
+                    allow_incomplete: bool = False):
     """One entry -> (shell, self_idx, nbr_idx, elements, targets, comp, id)
     or None when rejected. Targets are stored per-atom
-    (prepare_data.py:139)."""
+    (prepare_data.py:139). With ``allow_incomplete`` crystals lacking
+    ``max_nbr`` neighbors keep shorter (ragged) edge lists instead of being
+    rejected (legacy test_prepare_data.py behaviour)."""
     s = _to_structure_dict(entry)
     species = list(s["species"])
     n = len(species)
@@ -147,6 +185,19 @@ def featurise_entry(entry, *, radius: float = 18.0, max_nbr: int = 24,
     res = periodic_neighbors(s["lattice"], s["frac_coords"],
                              radius=radius, max_nbr=max_nbr)
     if res is None:
+        if allow_incomplete:
+            nbr_l, shell_l, _ = periodic_neighbors_ragged(
+                s["lattice"], s["frac_coords"], radius=radius,
+                max_nbr=max_nbr)
+            self_l = [np.full(len(nb), i, np.int64)
+                      for i, nb in enumerate(nbr_l)]
+            # ragged object arrays (legacy layout: lists per atom)
+            shells = np.asarray(shell_l, dtype=object)
+            self_idx = np.asarray(self_l, dtype=object)
+            nbr_idx = np.asarray(nbr_l, dtype=object)
+            comp = s.get("composition", "".join(
+                f"{el}{c}" for el, c in _count(species).items()))
+            return shells, self_idx, nbr_idx, species, targets, comp, cry_id
         warnings.warn(
             f"{cry_id} does not contain enough neighbors in the cutoff; "
             "compound is not added to the feature set")
@@ -221,17 +272,23 @@ def build_dataset_prepare(data, *, target_property=("e_above_hull", "e_form"),
 
 def prepare_graphs(entries, *, featuriser: Featuriser | None = None,
                    fea_path: str | None = None, target: str = "e_above_hull",
-                   radius: float = 18.0, max_nbr: int = 24):
+                   radius: float = 18.0, max_nbr: int = 24,
+                   allow_incomplete: bool = False):
     """Directly featurise entries into CrystalGraph records (skips the
     intermediate pickle; convenience path for in-memory pipelines)."""
     feat = featuriser or load_featuriser(fea_path)
     graphs = []
     for entry in entries:
         out = featurise_entry(entry, radius=radius, max_nbr=max_nbr,
-                              target_property=(target,))
+                              target_property=(target,),
+                              allow_incomplete=allow_incomplete)
         if out is None:
             continue
         shells, self_idx, nbr_idx, species, targets, comp, cry_id = out
+        if shells.dtype == object:  # ragged (allow_incomplete)
+            shells = np.concatenate(list(shells))
+            self_idx = np.concatenate(list(self_idx))
+            nbr_idx = np.concatenate(list(nbr_idx))
         n = len(species)
         cnt = _count(species)
         distinct = list(cnt)

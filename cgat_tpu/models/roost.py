@@ -47,6 +47,15 @@ def weighted_attention_dense(gate, weights, pow_, mask, axis):
     return g / denom
 
 
+def weighted_mean_pooling(fea, weights, mask, axis=1):
+    """Weight-scaled masked mean over element slots
+    (WeightedMeanPooling, roost_message.py:270-283)."""
+    w = jnp.where(mask, weights, 0.0)
+    num = jnp.sum(w[..., None] * fea, axis=axis)
+    den = jnp.maximum(jnp.sum(mask, axis=axis, keepdims=True), 1)
+    return num / den
+
+
 class MessageLayer(nn.Module):
     """Composition message passing (roost_message.py:88-156), dense.
 

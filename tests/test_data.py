@@ -150,3 +150,22 @@ def test_bundled_matscholar_embedding():
     assert feat.embedding_size == 200
     assert "H" in feat.allowed_types and "Pu" in feat.allowed_types
     assert feat.matrix(["Na", "Cl"]).shape == (2, 200)
+
+
+def test_allow_incomplete_ragged_featurisation():
+    """Legacy variant: sparse crystals keep shorter edge lists instead of
+    being rejected (reference test_prepare_data.py:193-222)."""
+    from cgat_tpu.data.featurizer import prepare_graphs
+    sparse = simple_cubic(a=30.0, species=("Na", "Cl"))
+    sparse["frac_coords"] = np.asarray([[0, 0, 0], [0.01, 0, 0]])
+    sparse["species"] = ["Na", "Cl"]
+    # strict mode rejects
+    assert prepare_graphs([sparse], featuriser=featuriser16(),
+                          target="e_above_hull", max_nbr=6) == []
+    gs = prepare_graphs([sparse], featuriser=featuriser16(),
+                        target="e_above_hull", max_nbr=6,
+                        allow_incomplete=True)
+    assert len(gs) == 1
+    g = gs[0]
+    assert 0 < len(g.edge_src) < 2 * 6   # fewer than max_nbr per atom
+    assert np.all(g.edge_shell >= 1)

@@ -208,3 +208,17 @@ def test_fit_with_steps_per_dispatch(tmp_path):
     state = trainer.fit(epochs=2)
     import os
     assert os.path.exists(os.path.join(trainer.last_log_dir, "metrics.jsonl"))
+
+
+def test_average_meter_and_normalizer():
+    from cgat_tpu.training.meters import AverageMeter, Normalizer
+    m = AverageMeter()
+    m.update(1.0, 2)
+    m.update(4.0, 1)
+    assert m.avg == pytest.approx(2.0)
+    n = Normalizer()
+    vals = np.asarray([1.0, 2.0, 3.0, 4.0])
+    n.fit(vals)
+    np.testing.assert_allclose(n.denorm(n.norm(vals)), vals, rtol=1e-12)
+    n2 = Normalizer(); n2.load_state_dict(n.state_dict())
+    assert n2.mean == n.mean and n2.std == n.std
