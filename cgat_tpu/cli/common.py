@@ -94,6 +94,8 @@ def add_trainer_args(p: argparse.ArgumentParser):
     p.add_argument("--edge-shards", type=int, default=1,
                    help="edge-partition shards per replica")
     p.add_argument("--acc_batches", "--acc-batches", type=int, default=1)
+    p.add_argument("--steps-per-dispatch", type=int, default=1,
+                   help="fuse K train steps into one device dispatch")
     p.add_argument("--ckp", type=str, default="",
                    help="checkpoint run dir to resume from")
     p.add_argument("--pretrained-model", type=str, default=None,
@@ -121,6 +123,7 @@ def configs_from_args(args) -> tuple[TrainerConfig, CGATConfig]:
         edge_shards=getattr(args, "edge_shards", 1),
         version=args.version,
         profile_epoch=args.profile_epoch,
+        steps_per_dispatch=getattr(args, "steps_per_dispatch", 1),
     )
     mcfg = CGATConfig(
         orig_elem_fea_len=200, elem_fea_len=args.atom_fea_len,

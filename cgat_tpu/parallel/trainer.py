@@ -11,7 +11,7 @@ computation on the concatenated batch.
 """
 from __future__ import annotations
 
-from functools import partial
+
 
 import jax
 import jax.numpy as jnp

@@ -5,7 +5,6 @@ errors_of_additional_data.py).
 from __future__ import annotations
 
 import csv
-import glob
 import os
 
 import numpy as np

@@ -13,9 +13,8 @@ import os
 
 import numpy as np
 
-from .shards import (batch_id_str, entry_ids, iter_shards, load_pickle,
-                     merge_prepared, remove_entries, save_pickle,
-                     select_entries, shard_path)
+from .shards import (entry_ids, iter_shards, load_pickle, merge_prepared,
+                     remove_entries, save_pickle, select_entries, shard_path)
 
 
 def error_csv_path(i: int, path: str) -> str:

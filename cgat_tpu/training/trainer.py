@@ -24,8 +24,7 @@ import dataclasses
 import json
 import os
 import time
-from functools import partial
-from typing import Any, Sequence
+from typing import Any
 
 import jax
 import jax.numpy as jnp
@@ -104,9 +103,11 @@ def make_optimizer(cfg: TrainerConfig, params=None):
     """Build the optax chain matching lightning_module.py:306-355."""
     def base(learning_rate):
         if cfg.optim == "SGD":
-            return optax.sgd(learning_rate, momentum=cfg.momentum)if cfg.weight_decay == 0 else optax.chain(
-                optax.add_decayed_weights(cfg.weight_decay),
-                optax.sgd(learning_rate, momentum=cfg.momentum))
+            sgd = optax.sgd(learning_rate, momentum=cfg.momentum)
+            if cfg.weight_decay == 0:
+                return sgd
+            return optax.chain(optax.add_decayed_weights(cfg.weight_decay),
+                               sgd)
         if cfg.optim == "Adam":
             return optax.chain(optax.add_decayed_weights(cfg.weight_decay),
                                optax.adam(learning_rate))
@@ -421,18 +422,22 @@ class Trainer:
                 state.opt_state, lr_of_epoch(epoch, val_mae)))
             from ..utils.profiling import ThroughputMeter, trace
             meter = ThroughputMeter()
-            agg, nb = None, 0
+            step_metrics = []
             with trace(os.path.join(log_dir, "profile")
                        if epoch == cfg.profile_epoch else None):
                 for batch in train_loader:
                     state, metrics = train_step(state, batch)
                     meter.update(batch)
-                    agg = metrics if agg is None else jax.tree.map(
-                        jnp.add, agg, metrics)
-                    nb += 1
+                    # defer aggregation: appending device scalars costs no
+                    # dispatch; one reduction at epoch end
+                    step_metrics.append(metrics)
+            nb = len(step_metrics)
             if nb == 0:
                 raise RuntimeError("training split smaller than one batch")
-            train_m = {k: float(v) / nb for k, v in agg.items()}
+            # one stack dispatch + one read per metric for the whole epoch
+            train_m = {k: float(jnp.mean(jnp.stack([m[k]
+                                                    for m in step_metrics])))
+                       for k in step_metrics[0]}
             if cfg.nan_guard and not all(
                     np.isfinite(v) for v in train_m.values()):
                 raise FloatingPointError(

@@ -18,7 +18,7 @@ Kzz = Lz Lz^T, A = Lz^{-1} Kzx, and q(v) = N(m, S), S = L L^T:
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
+
 
 import jax
 import jax.numpy as jnp
