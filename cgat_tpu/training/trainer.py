@@ -354,7 +354,7 @@ class Trainer:
         return GraphLoader(graphs, cfg.batch_size, shuffle=shuffle,
                            seed=cfg.seed, max_nbr=cfg.max_nbr,
                            node_bucket=cfg.node_bucket,
-                           num_comp_slots=cfg.num_comp_slots or 12)
+                           num_comp_slots=cfg.num_comp_slots)  # None -> loader derives dataset max
 
     # --------------------------------------------------------------- fit
 
@@ -383,7 +383,7 @@ class Trainer:
                 self.train_graphs, cfg.batch_size, mesh.shape["dp"],
                 shuffle=True, seed=cfg.seed, max_nbr=cfg.max_nbr,
                 node_bucket=cfg.node_bucket,
-                num_comp_slots=cfg.num_comp_slots or 12)
+                num_comp_slots=cfg.num_comp_slots)  # None -> loader derives dataset max
         elif cfg.steps_per_dispatch > 1:
             # fuse K steps per dispatch: stacked batches via the same grouped
             # loader the dp path uses, consumed by lax.scan instead of a mesh
@@ -394,7 +394,7 @@ class Trainer:
                 self.train_graphs, cfg.batch_size, cfg.steps_per_dispatch,
                 shuffle=True, seed=cfg.seed, max_nbr=cfg.max_nbr,
                 node_bucket=cfg.node_bucket,
-                num_comp_slots=cfg.num_comp_slots or 12)
+                num_comp_slots=cfg.num_comp_slots)  # None -> loader derives dataset max
         else:
             train_step = make_train_step(self.model, self.tx, self.criterion,
                                          self.mean, self.std)
