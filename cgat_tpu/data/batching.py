@@ -162,6 +162,8 @@ def collate(graphs: Sequence[CrystalGraph],
     edge_shell[:e] = shell
     edge_mask[:e] = True
 
+    collate.last_counts = {"edges": int(e), "graphs": len(graphs),
+                           "nodes": int(n_real_nodes)}
     return CrystalBatch(
         nodes=jnp.asarray(nodes),
         node_mask=jnp.asarray(node_mask),

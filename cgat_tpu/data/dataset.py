@@ -193,6 +193,9 @@ class GraphLoader:
         for b in range(len(self)):
             idx = order[b * self.batch_size:(b + 1) * self.batch_size]
             chunk = [self.graphs[i] for i in idx]
+            # host-side real counts (throughput metering without D2H reads)
+            self.last_counts = {"edges": sum(len(g.edge_src) for g in chunk),
+                                "graphs": len(chunk)}
             yield collate(chunk, max_nbr=self.max_nbr,
                           node_bucket=self.node_bucket,
                           num_graphs=self.batch_size,

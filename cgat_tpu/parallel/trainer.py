@@ -121,6 +121,9 @@ class ParallelLoader:
                 chunks.append([order_graphs[i] for i in idx])
             n_max = max(pad_to_bucket(sum(x.n_atoms for x in c),
                                       self.node_bucket) for c in chunks)
+            self.last_counts = {
+                "edges": sum(len(x.edge_src) for c in chunks for x in c),
+                "graphs": sum(len(c) for c in chunks)}
             batches = [collate(c, max_nbr=self.max_nbr,
                                num_graphs=bs,
                                num_comp_slots=inner.num_comp_slots,

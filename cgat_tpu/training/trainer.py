@@ -427,7 +427,8 @@ class Trainer:
                        if epoch == cfg.profile_epoch else None):
                 for batch in train_loader:
                     state, metrics = train_step(state, batch)
-                    meter.update(batch)
+                    meter.update(**getattr(train_loader, "last_counts",
+                                           {"edges": 0, "graphs": 0}))
                     # defer aggregation: appending device scalars costs no
                     # dispatch; one reduction at epoch end
                     step_metrics.append(metrics)

@@ -40,10 +40,18 @@ class ThroughputMeter:
         self.edges = 0
         self.graphs = 0
 
-    def update(self, batch):
-        import numpy as np
+    def update(self, batch=None, *, edges: int | None = None,
+               graphs: int | None = None):
         self.steps += 1
-        # stacked (parallel) batches have a leading replica axis
+        if edges is not None:
+            self.edges += edges
+            self.graphs += graphs or 0
+            return
+        # fallback: derive from the batch masks. NOTE this is a device->host
+        # read; on the axon tunnel every read costs ~an RTT — prefer passing
+        # host-side counts (the collate fn records them in
+        # collate.last_counts).
+        import numpy as np
         self.edges += int(np.sum(np.asarray(batch.edge_mask)))
         self.graphs += int(np.sum(np.asarray(batch.graph_mask)))
 
