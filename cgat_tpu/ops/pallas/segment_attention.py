@@ -52,13 +52,14 @@ def _fwd_kernel(off_ref, alpha_hbm, m_hbm, dstb_hbm,
                 out_ref, max_ref, den_ref,
                 a_s, m_s, d_s, acc_num, acc_den, run_max, sems,
                 *, bn, be, hf):
+    # a_s/m_s may be bf16 (halved DMA); all arithmetic is f32
     i = pl.program_id(0)
     start = off_ref[i]
     end = off_ref[i + 1]
     node0 = i * bn
     # DMA starts must be sublane-aligned (8 rows for f32/int32); align down —
     # leading extra edges belong to earlier nodes and never match membership
-    start_al = pl.multiple_of((start // 8) * 8, 8)
+    start_al = pl.multiple_of((start // 16) * 16, 16)
     nchunks = (end - start_al + be - 1) // be
 
     run_max[:] = jnp.full((8, hf), NEG_BIG, jnp.float32)
@@ -84,7 +85,7 @@ def _fwd_kernel(off_ref, alpha_hbm, m_hbm, dstb_hbm,
         local = jnp.min(d_s[:], axis=1, keepdims=True) - node0  # (BE, 1)
         sel = jnp.where((local == col_ids) & valid, 1.0, 0.0)  # (BE, BN)
 
-        a = a_s[:]
+        a = a_s[:].astype(jnp.float32)
         chunk_max = jnp.max(jnp.where(valid, a, NEG_BIG), axis=0,
                             keepdims=True)                    # (1, HF)
         old = run_max[0:1, :]
@@ -100,7 +101,7 @@ def _fwd_kernel(off_ref, alpha_hbm, m_hbm, dstb_hbm,
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST)               # (BN, HF)
         acc_num[:] += jax.lax.dot_general(
-            sel, e * m_s[:], (((0,), (0,)), ((), ())),
+            sel, e * m_s[:].astype(jnp.float32), (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST)
         return 0
@@ -142,9 +143,11 @@ def _bwd_kernel(meta_ref, dstb_ref, alpha_ref, m_ref, nodecat_hbm,
     den_e = cat_e[:, 2 * hf:3 * hf]
     out_e = cat_e[:, 3 * hf:4 * hf]
     onseg = jnp.max(sel, axis=1, keepdims=True)               # (BE, 1)
-    p = jnp.exp(alpha_ref[:] - max_e) / (den_e + EPS) * onseg
-    dm_ref[:] = p * g_e
-    dalpha_ref[:] = p * g_e * (m_ref[:] - out_e)
+    p = jnp.exp(alpha_ref[:].astype(jnp.float32) - max_e) / (den_e + EPS) * onseg
+    pg = p * g_e
+    dm_ref[:] = pg.astype(dm_ref.dtype)
+    dalpha_ref[:] = (pg * (m_ref[:].astype(jnp.float32) - out_e)
+                     ).astype(dalpha_ref.dtype)
 
 
 def _broadcast_dst(dst2):
@@ -184,8 +187,8 @@ def _fwd_impl(alpha2, m2, dst2, n_real, num_nodes, bn, be, interpret):
         out_specs=[pl.BlockSpec((bn, hf), lambda i, off: (i, 0),
                                 memory_space=pltpu.VMEM)] * 3,
         scratch_shapes=[
-            pltpu.VMEM((be, hf), jnp.float32),
-            pltpu.VMEM((be, hf), jnp.float32),
+            pltpu.VMEM((be, hf), alpha2.dtype),
+            pltpu.VMEM((be, hf), m2.dtype),
             pltpu.VMEM((be, 128), jnp.int32),
             pltpu.VMEM((bn, hf), jnp.float32),
             pltpu.VMEM((bn, hf), jnp.float32),
@@ -288,8 +291,9 @@ def edge_softmax_aggregate(alpha, m, edge_dst, num_nodes, *, edge_mask=None,
     be = min(block_edges, e_tot)
     n_real = (jnp.sum(edge_mask.astype(jnp.int32)) if edge_mask is not None
               else jnp.asarray(e_tot, jnp.int32))
-    alpha2 = alpha.astype(jnp.float32).reshape(e_tot, hf)
-    m2 = m.astype(jnp.float32).reshape(e_tot, hf)
+    keep = alpha.dtype if alpha.dtype == jnp.bfloat16 else jnp.float32
+    alpha2 = alpha.astype(keep).reshape(e_tot, hf)
+    m2 = m.astype(keep).reshape(e_tot, hf)
     dst2 = edge_dst.astype(jnp.int32).reshape(e_tot, 1)
     if e_tot % be:
         # round the edge axis up to a whole number of blocks; padded rows sit
@@ -301,4 +305,4 @@ def edge_softmax_aggregate(alpha, m, edge_dst, num_nodes, *, edge_mask=None,
                        constant_values=num_nodes - 1)
     out = _edge_softmax_aggregate(alpha2, m2, dst2, n_real, num_nodes,
                                   block_nodes, be, interpret)
-    return out.reshape(num_nodes, h, f)
+    return out.reshape(num_nodes, h, f).astype(alpha.dtype)
