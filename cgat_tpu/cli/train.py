@@ -32,7 +32,11 @@ def main(argv=None):
         state = new_trainer.init_state(params=params)
         state = new_trainer.fit(state)
     elif args.ckp:
-        trainer, params, meta = load_trainer(args.ckp, train=True)
+        try:
+            trainer, params, meta = load_trainer(args.ckp, train=True,
+                                                 tag="last")
+        except FileNotFoundError:
+            trainer, params, meta = load_trainer(args.ckp, train=True)
         state = trainer.init_state(params=params)
         remaining = max(0, tcfg.epochs - int(meta.get("epoch", 0)) - 1)
         state = trainer.fit(state, epochs=remaining)

@@ -457,6 +457,10 @@ class Trainer:
                 if val_mae < best_val:
                     best_val = val_mae
                     ckpt.save(state, self, epoch=epoch, val_mae=val_mae)
+                # always refresh "last" for crash-safe resume (the reference
+                # only saved top-1; resume needed an explicit --ckp path)
+                ckpt.save(state, self, epoch=epoch,
+                          val_mae=val_mae, tag="last")
         self.last_log_dir = log_dir
         return state
 
@@ -514,9 +518,9 @@ class CheckpointManager:
         os.makedirs(self.dir, exist_ok=True)
 
     def save(self, state: TrainState, trainer: Trainer, *, epoch: int,
-             val_mae: float):
+             val_mae: float, tag: str = "best"):
         import orbax.checkpoint as ocp
-        path = os.path.join(self.dir, "best")
+        path = os.path.join(self.dir, tag)
         with ocp.PyTreeCheckpointer() as ckptr:
             ckptr.save(path, {"params": state.params,
                               "step": state.step}, force=True)
@@ -526,29 +530,29 @@ class CheckpointManager:
             "trainer_config": dataclasses.asdict(trainer.cfg),
             "model_config": dataclasses.asdict(trainer.model_cfg),
         }
-        with open(os.path.join(self.dir, "best.json"), "w") as f:
+        with open(os.path.join(self.dir, f"{tag}.json"), "w") as f:
             json.dump(meta, f, indent=2, default=str)
 
     @staticmethod
-    def load(ckpt_dir: str):
+    def load(ckpt_dir: str, tag: str = "best"):
         """Returns (params, meta). ``ckpt_dir`` is .../checkpoints or the
-        run dir containing it."""
+        run dir containing it; ``tag`` selects best|last."""
         import orbax.checkpoint as ocp
         d = ckpt_dir
         if os.path.isdir(os.path.join(d, "checkpoints")):
             d = os.path.join(d, "checkpoints")
-        with open(os.path.join(d, "best.json")) as f:
+        with open(os.path.join(d, f"{tag}.json")) as f:
             meta = json.load(f)
         with ocp.PyTreeCheckpointer() as ckptr:
-            tree = ckptr.restore(os.path.join(d, "best"))
+            tree = ckptr.restore(os.path.join(d, tag))
         return tree["params"], meta
 
 
 def load_trainer(ckpt_dir: str, *, train: bool = False, graphs=None,
-                 **overrides):
+                 tag: str = "best", **overrides):
     """Rebuild a Trainer + params from a checkpoint
     (LightningModel.load, lightning_module.py:413-424)."""
-    params, meta = CheckpointManager.load(ckpt_dir)
+    params, meta = CheckpointManager.load(ckpt_dir, tag=tag)
     tcfg_d = dict(meta["trainer_config"])
     tcfg_d.update(overrides)
     # dataclass roundtrip may stringify None

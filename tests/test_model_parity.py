@@ -115,3 +115,58 @@ def test_gradients_finite():
     assert all(np.all(np.isfinite(g)) for g in leaves)
     # at least the embedding must receive signal
     assert np.abs(np.asarray(grads["embedding"]["kernel"])).max() > 0
+
+
+def test_per_layer_activation_parity():
+    """Per-layer golden activations (the north-star's 'per-layer activations
+    allclose' check, BASELINE.md): every GATConvNodes/GATConvEdges output and
+    the roost/pool features must match the oracle layer by layer."""
+    import torch
+    cfg, graphs, batch, model, params, oin = build(seed=11)
+    _, inter = model.apply({"params": params}, batch,
+                           capture_intermediates=True, mutable=["intermediates"])
+    inter = inter["intermediates"]
+
+    # oracle layer-by-layer replay
+    npp = np_params(params)
+    x = O.t(oin["nodes"]) @ O.t(npp["embedding"]["kernel"])
+    emb = O.t(npp["nbr_embedding"]["embedding"])
+    e = emb[O.ti(oin["edge_shell"])]
+    src, dst = O.ti(oin["edge_src"]), O.ti(oin["edge_dst"])
+    x0, e0 = x.clone(), e.clone()
+    n_real_nodes = oin["nodes"].shape[0]
+    n_real_edges = oin["edge_src"].shape[0]
+    # the batch builder sorts edges by destination (stable); per-edge
+    # activations compare through that permutation
+    perm = np.argsort(oin["edge_dst"], kind="stable")
+    for i in range(cfg.n_graph):
+        node_up = O.gat_conv_nodes(npp[f"graph_{i}_Node"], x, src, dst, e,
+                                   x0, cfg.elem_fea_len, first=(i == 0))
+        got_node = np.asarray(
+            inter[f"graph_{i}_Node"]["__call__"][0])[:n_real_nodes]
+        np.testing.assert_allclose(got_node, node_up.numpy(),
+                                   rtol=5e-4, atol=5e-5,
+                                   err_msg=f"node layer {i}")
+        e_up = O.gat_conv_edges(npp[f"graph_{i}_Edge"], x, src, dst, e, e0,
+                                cfg.nbr_embedding_size, first=(i == 0),
+                                no_hyper=cfg.no_hyper,
+                                vector_attention=cfg.vector_attention)
+        got_edge = np.asarray(
+            inter[f"graph_{i}_Edge"]["__call__"][0])[:n_real_edges]
+        np.testing.assert_allclose(got_edge, e_up.numpy()[perm],
+                                   rtol=5e-4, atol=5e-5,
+                                   err_msg=f"edge layer {i}")
+        e = e + e_up
+        x = x + node_up
+
+    crys = O.roost_forward(npp["roost"], O.t(oin["comp_weights"]),
+                           O.t(oin["comp_fea"]), O.ti(oin["comp_self_idx"]),
+                           O.ti(oin["comp_nbr_idx"]), O.ti(oin["comp_cry_idx"]))
+    got_roost = np.asarray(inter["roost"]["__call__"][0])[: crys.shape[0]]
+    np.testing.assert_allclose(got_roost, crys.numpy(), rtol=5e-4, atol=5e-5,
+                               err_msg="roost")
+    pool = O.mh_attention(npp["cry_pool"], x, crys, O.ti(oin["node2graph"]),
+                          cfg.msg_heads, cfg.elem_fea_len)
+    got_pool = np.asarray(inter["cry_pool"]["__call__"][0])[: pool.shape[0]]
+    np.testing.assert_allclose(got_pool, pool.numpy(), rtol=5e-4, atol=5e-5,
+                               err_msg="cry_pool")
