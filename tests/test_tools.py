@@ -162,3 +162,56 @@ def test_get_composition_patterns():
     }
     for path, want in cases.items():
         assert get_composition(path) == want
+
+
+@pytest.mark.slow
+def test_active_learning_error_loop_end_to_end(tmp_path):
+    """calculate_errors + get_highest_errors against a real trained tiny
+    checkpoint over a sharded pool (Utilities/calculate_errors.py flow)."""
+    import jax
+    from cgat_tpu.data.featurizer import build_dataset_prepare
+    from cgat_tpu.models import CGATConfig
+    from cgat_tpu.training import Trainer, TrainerConfig
+    from cgat_tpu.tools.errors import calculate_errors, get_highest_errors
+
+    rng = np.random.default_rng(7)
+    def cubic(i):
+        return {
+            "lattice": np.eye(3) * rng.uniform(3.0, 4.0) * 2,
+            "frac_coords": np.stack(np.meshgrid(*[[0, .5]]*3,
+                                                indexing="ij"), -1
+                                    ).reshape(-1, 3),
+            "species": [["Na", "Cl", "K", "O"][int(x)]
+                        for x in rng.integers(0, 4, 8)],
+            "data": {"id": f"{i},1",
+                     "e_above_hull": float(rng.random()),
+                     "e_form": 0.0},
+        }
+    pool = str(tmp_path / "pool")
+    from cgat_tpu.tools import shards
+    for s in range(2):
+        d = build_dataset_prepare([cubic(s * 8 + j) for j in range(8)],
+                                  max_neighbor_number=6, progress=False)
+        shards.save_pickle(d, shards.shard_path(s, pool))
+
+    # train a tiny ckpt on the same kind of data
+    from cgat_tpu.data.dataset import load_prepared
+    from cgat_tpu.data.embedding import Featuriser
+    graphs = load_prepared(shards.shard_path(0, pool),
+                           max_neighbor_number=6, target="e_above_hull")
+    cfg = TrainerConfig(batch_size=4, epochs=2, node_bucket=16, max_nbr=6,
+                        target="e_above_hull", ckpt_dir=str(tmp_path),
+                        run_name="al", val_size=0.25, test_size=0.25)
+    mcfg = CGATConfig(orig_elem_fea_len=200, elem_fea_len=8, n_graph=1,
+                      nbr_embedding_size=8, neighbor_number=6, msg_heads=2,
+                      n_graph_roost=1, out_hidden=(8,))
+    trainer = Trainer(cfg, mcfg, graphs)
+    trainer.fit()
+    run_dir = trainer.last_log_dir
+
+    calculate_errors(run_dir, pool, target="e_above_hull")
+    picked = get_highest_errors(pool, n=4)
+    assert len(picked["batch_ids"]) == 4
+    remaining = sum(len(shards.load_pickle(p)["batch_ids"])
+                    for _, p in shards.iter_shards(pool))
+    assert remaining == 12
