@@ -96,14 +96,15 @@ def _fwd_kernel(off_ref, alpha_hbm, m_hbm, dstb_hbm,
         run_max[:] = jnp.broadcast_to(new, (8, hf))
 
         e = jnp.exp(a - new) * validf                         # (BE, HF)
-        acc_den[:] += jax.lax.dot_general(
-            sel, e, (((0,), (0,)), ((), ())),
+        # one fused one-hot contraction for both sums: sel @ [e | e*m]
+        cat = jnp.concatenate(
+            [e, e * m_s[:].astype(jnp.float32)], axis=1)      # (BE, 2*HF)
+        acc = jax.lax.dot_general(
+            sel, cat, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)               # (BN, HF)
-        acc_num[:] += jax.lax.dot_general(
-            sel, e * m_s[:].astype(jnp.float32), (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)
+            precision=jax.lax.Precision.HIGHEST)               # (BN, 2*HF)
+        acc_den[:] += acc[:, :hf]
+        acc_num[:] += acc[:, hf:]
         return 0
 
     jax.lax.fori_loop(0, nchunks, body, 0)
