@@ -195,7 +195,7 @@ def featurise_entry(entry, *, radius: float = 18.0, max_nbr: int = 24,
             shells = np.asarray(shell_l, dtype=object)
             self_idx = np.asarray(self_l, dtype=object)
             nbr_idx = np.asarray(nbr_l, dtype=object)
-            comp = s.get("composition", "".join(
+            comp = s.get("composition", " ".join(
                 f"{el}{c}" for el, c in _count(species).items()))
             return shells, self_idx, nbr_idx, species, targets, comp, cry_id
         warnings.warn(
@@ -204,7 +204,8 @@ def featurise_entry(entry, *, radius: float = 18.0, max_nbr: int = 24,
         return None
     nbr_idx, shells, _ = res
     self_idx = np.repeat(np.arange(n)[:, None], max_nbr, axis=1)
-    comp = s.get("composition", "".join(
+    # pymatgen formula format: space-separated "Na1 Cl1"
+    comp = s.get("composition", " ".join(
         f"{el}{c}" for el, c in _count(species).items()))
     return shells, self_idx, nbr_idx, species, targets, comp, cry_id
 

@@ -1,4 +1,4 @@
-from . import additional_data, analysis, annotate, embeddings, errors, sample, shards
+from . import additional_data, analysis, annotate, embeddings, errors, loop, sample, shards
 from .metropolis import MarkovChain
 from .periodic import MAX_Z, SYMBOL_TO_Z, symbol_to_z
 

@@ -21,11 +21,17 @@ from .shards import (batch_id_str, entry_ids, iter_shards, load_pickle,
 
 
 def composition_elements(batch_comp: str) -> set[int]:
-    """Atomic numbers present in a space-separated composition string
-    ('Na1 Cl1' style, Utilities/sample.py:100)."""
+    """Atomic numbers present in a composition string — space-separated
+    pymatgen style ('Na1 Cl1', Utilities/sample.py:100) or compact
+    ('Na1Cl1')."""
+    import re
     comp = batch_comp[0] if isinstance(batch_comp, (list, tuple,
                                                     np.ndarray)) else batch_comp
-    return {symbol_to_z(tok) for tok in str(comp).split() if tok.strip()}
+    comp = str(comp)
+    if " " in comp:
+        return {symbol_to_z(tok) for tok in comp.split() if tok.strip()}
+    return {symbol_to_z(el) for el, _ in
+            re.findall(r"([A-Z][a-z]?)(\d*)", comp) if el}
 
 
 def element_correlation(element_sets: Iterable[set[int]],

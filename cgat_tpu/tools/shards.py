@@ -83,15 +83,28 @@ def select_entries(data: dict, indices) -> dict:
     }
 
 
+def _obj1d(arr):
+    """Force a 1-D object array of per-crystal entries: numpy collapses
+    rectangular lists-of-lists (e.g. all crystals with equal atom counts)
+    into 2-D object arrays, which breaks concatenation across shards."""
+    a = np.asarray(arr, dtype=object)
+    if a.ndim > 1:
+        out = np.empty(a.shape[0], dtype=object)
+        for i in range(a.shape[0]):
+            out[i] = np.asarray(a[i])
+        return out
+    return a
+
+
 def merge_prepared(dicts: list[dict]) -> dict:
     """Concatenate prepared dicts (inverse of sharding)."""
     out = {
         "input": np.concatenate([d["input"] for d in dicts], axis=1),
         "batch_ids": [b for d in dicts for b in d["batch_ids"]],
         "batch_comp": np.concatenate(
-            [np.asarray(d["batch_comp"], dtype=object) for d in dicts]),
+            [_obj1d(d["batch_comp"]) for d in dicts]),
         "comps": np.concatenate(
-            [np.asarray(d["comps"], dtype=object) for d in dicts]),
+            [_obj1d(d["comps"]) for d in dicts]),
         "target": {},
     }
     for t in dicts[0]["target"]:

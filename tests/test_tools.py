@@ -215,3 +215,53 @@ def test_active_learning_error_loop_end_to_end(tmp_path):
     remaining = sum(len(shards.load_pickle(p)["batch_ids"])
                     for _, p in shards.iter_shards(pool))
     assert remaining == 12
+
+
+@pytest.mark.slow
+def test_active_learning_round_orchestrator(tmp_path):
+    """Full round: initial sample -> train -> error ranking -> absorb top-N
+    (SURVEY.md section 3.5 workflow as one call)."""
+    import jax
+    from cgat_tpu.data.featurizer import build_dataset_prepare
+    from cgat_tpu.models import CGATConfig
+    from cgat_tpu.tools.loop import active_learning_round, initial_sample
+    from cgat_tpu.training import TrainerConfig
+
+    rng = np.random.default_rng(9)
+    def cubic(i):
+        return {
+            "lattice": np.eye(3) * rng.uniform(3.0, 4.0) * 2,
+            "frac_coords": np.stack(np.meshgrid(*[[0, .5]]*3,
+                                                indexing="ij"), -1
+                                    ).reshape(-1, 3),
+            "species": [["Na", "Cl", "K", "O"][int(x)]
+                        for x in rng.integers(0, 4, 8)],
+            "data": {"id": f"{i},1",
+                     "e_above_hull": float(rng.random()), "e_form": 0.0},
+        }
+    pool = str(tmp_path / "pool")
+    for s in range(2):
+        d = build_dataset_prepare([cubic(s * 10 + j) for j in range(10)],
+                                  max_neighbor_number=6, progress=False)
+        shards.save_pickle(d, shards.shard_path(s, pool))
+
+    al_pool = str(tmp_path / "al")
+    sample_dict = initial_sample(pool, al_pool, 8, seed=1)
+    assert len(sample_dict["batch_ids"]) == 8
+    sample_path = str(tmp_path / "sample.pickle.gz")
+    shards.save_pickle(sample_dict, sample_path)
+
+    tcfg = TrainerConfig(batch_size=4, epochs=2, node_bucket=16, max_nbr=6,
+                         target="e_above_hull", ckpt_dir=str(tmp_path),
+                         run_name="alr", val_size=0.25, test_size=0.25)
+    mcfg = CGATConfig(orig_elem_fea_len=200, elem_fea_len=8, n_graph=1,
+                      nbr_embedding_size=8, neighbor_number=6, msg_heads=2,
+                      n_graph_roost=1, out_hidden=(8,))
+    run_dir, new_sample = active_learning_round(
+        al_pool, sample_path, trainer_cfg=tcfg, model_cfg=mcfg, n_new=4)
+    assert new_sample is not None and len(new_sample["batch_ids"]) == 4
+    merged = shards.load_pickle(sample_path)
+    assert len(merged["batch_ids"]) == 12
+    remaining = sum(len(shards.load_pickle(p)["batch_ids"])
+                    for _, p in shards.iter_shards(al_pool))
+    assert remaining == 8  # 20 - 8 initial - 4 absorbed
