@@ -18,7 +18,7 @@ def main(argv=None):
     add_model_args(p)
     args = p.parse_args(argv)
 
-    from ..training.trainer import Trainer, load_trainer
+    from ..training.trainer import Trainer, load_trainer, resume_trainer
     tcfg, mcfg = configs_from_args(args)
     print(tcfg)
     print(mcfg)
@@ -32,14 +32,18 @@ def main(argv=None):
         state = new_trainer.init_state(params=params)
         state = new_trainer.fit(state)
     elif args.ckp:
+        # exact resume: optimizer moments + epoch + schedule state restored
+        # (reference resume_from_checkpoint, train.py:64-76)
         try:
-            trainer, params, meta = load_trainer(args.ckp, train=True,
-                                                 tag="last")
+            trainer, state, meta = resume_trainer(args.ckp, tag="last")
         except FileNotFoundError:
-            trainer, params, meta = load_trainer(args.ckp, train=True)
-        state = trainer.init_state(params=params)
-        remaining = max(0, tcfg.epochs - int(meta.get("epoch", 0)) - 1)
-        state = trainer.fit(state, epochs=remaining)
+            trainer, state, meta = resume_trainer(args.ckp, tag="best")
+        state = trainer.fit(
+            state, epochs=tcfg.epochs,
+            start_epoch=int(meta.get("epoch", -1)) + 1,
+            best_val=float(meta.get("best_val", meta.get("val_mae", "inf"))),
+            plateau_state=meta.get("plateau"),
+            last_val_mae=meta.get("val_mae"))
     else:
         trainer = Trainer(tcfg, mcfg)
         state = trainer.fit()

@@ -172,7 +172,8 @@ class GraphLoader:
         self.graphs = list(graphs)
         self.batch_size = batch_size
         self.shuffle = shuffle
-        self.rng = np.random.default_rng(seed)
+        self.seed = seed
+        self._epoch = 0
         self.max_nbr = max_nbr
         self.node_bucket = node_bucket
         self.num_comp_slots = num_comp_slots or max(
@@ -185,10 +186,23 @@ class GraphLoader:
             return len(self.graphs) // self.batch_size
         return -(-len(self.graphs) // self.batch_size)
 
-    def __iter__(self):
+    def set_epoch(self, epoch: int) -> None:
+        """Pin the shuffle stream to an epoch so interrupted runs resume with
+        the exact batch order of the uninterrupted run (the reference's
+        ``resume_from_checkpoint`` restored the full PL training loop,
+        train.py:64-76)."""
+        self._epoch = int(epoch)
+
+    def _order(self) -> np.ndarray:
+        """Deterministic per-epoch permutation; advances the epoch counter."""
         order = np.arange(len(self.graphs))
         if self.shuffle:
-            self.rng.shuffle(order)
+            np.random.default_rng([self.seed, self._epoch]).shuffle(order)
+        self._epoch += 1
+        return order
+
+    def __iter__(self):
+        order = self._order()
         from .batching import collate
         for b in range(len(self)):
             idx = order[b * self.batch_size:(b + 1) * self.batch_size]

@@ -100,19 +100,25 @@ class ParallelLoader:
         self.n_replicas = n_replicas
         self.max_nbr = max_nbr
         self.node_bucket = node_bucket
+        self.drop_last = drop_last
 
     def __len__(self):
-        return len(self.inner) // self.n_replicas
+        if self.drop_last:
+            return len(self.inner) // self.n_replicas
+        # pad the tail group with empty (fully masked) replica batches so
+        # every graph is evaluated exactly once (masked-exact parallel eval)
+        return -(-len(self.inner) // self.n_replicas)
+
+    def set_epoch(self, epoch: int) -> None:
+        self.inner.set_epoch(epoch)
 
     def __iter__(self):
         from ..data.batching import collate, pad_to_bucket
         D = self.n_replicas
         inner = self.inner
+        inner.drop_last = self.drop_last
         order_graphs = inner.graphs
-        import numpy as np
-        order = np.arange(len(order_graphs))
-        if inner.shuffle:
-            inner.rng.shuffle(order)
+        order = inner._order()
         bs = inner.batch_size
         for g in range(len(self)):
             chunks = []

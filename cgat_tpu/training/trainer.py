@@ -132,29 +132,40 @@ def make_optimizer(cfg: TrainerConfig, params=None):
 
 
 def set_learning_rate(opt_state, lr: float):
-    """Update the injected learning_rate hyperparam in-place (epoch-level
-    scheduling without recompilation)."""
+    """Return a copy of ``opt_state`` with every injected ``learning_rate``
+    hyperparam replaced (epoch-level scheduling without recompilation).
+
+    Purely functional: rebuilds the containers on the path to each
+    ``InjectHyperparamsState`` instead of mutating ``hyperparams`` dicts in
+    place, so it stays correct when the jitted step donates the state and
+    under arbitrary ``MultiSteps``/``multi_transform`` nesting."""
     found = []
 
-    def walk(s):
-        if hasattr(s, "hyperparams") and "learning_rate" in s.hyperparams:
-            s.hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
+    def rebuild(s):
+        if hasattr(s, "hyperparams") and isinstance(s.hyperparams, dict) \
+                and "learning_rate" in s.hyperparams and hasattr(s, "_replace"):
             found.append(True)
-        if isinstance(s, (tuple, list)):
-            for x in s:
-                walk(x)
+            hp = dict(s.hyperparams)
+            hp["learning_rate"] = jnp.asarray(lr, jnp.float32)
+            return s._replace(hyperparams=hp)
+        if isinstance(s, tuple):
+            new = [rebuild(x) for x in s]
+            # NamedTuple (optax states) vs plain tuple (optax.chain)
+            return type(s)(*new) if hasattr(s, "_fields") else tuple(new)
+        if isinstance(s, list):
+            return [rebuild(x) for x in s]
         if isinstance(s, dict):
-            for x in s.values():
-                walk(x)
+            return {k: rebuild(v) for k, v in s.items()}
         for attr in ("inner_state", "inner_opt_state", "inner_states"):
             inner = getattr(s, attr, None)
-            if inner is not None:
-                walk(inner)
+            if inner is not None and hasattr(s, "_replace"):
+                return s._replace(**{attr: rebuild(inner)})
+        return s
 
-    walk(opt_state)
+    new_state = rebuild(opt_state)
     if not found:
         raise RuntimeError("no injected learning_rate found in opt state")
-    return opt_state
+    return new_state
 
 
 def _metrics(output, log_std, target, mask, mean, std, criterion):
@@ -359,7 +370,15 @@ class Trainer:
     # --------------------------------------------------------------- fit
 
     def fit(self, state: TrainState | None = None, *,
-            epochs: int | None = None) -> TrainState:
+            epochs: int | None = None, start_epoch: int = 0,
+            best_val: float = float("inf"),
+            plateau_state: dict | None = None,
+            last_val_mae: float | None = None) -> TrainState:
+        """Train from ``start_epoch`` (exclusive upper bound ``epochs``).
+
+        ``start_epoch``/``best_val``/``plateau_state`` let ``restore`` resume
+        an interrupted run bit-for-bit (the reference restored the full PL
+        training state via resume_from_checkpoint, train.py:64-76)."""
         cfg = self.cfg
         epochs = epochs or cfg.epochs
         if state is None:
@@ -410,14 +429,18 @@ class Trainer:
             sched = schedules.cyclical_lr(period=cfg.clr_period,
                                           cycle_mul=0.1, tune_mul=0.05)
             lr_of_epoch = lambda e, _: cfg.learning_rate * sched(e)
+            self._plateau = None
         else:
             plateau = schedules.ReduceLROnPlateau()
+            if plateau_state:
+                plateau.__dict__.update(plateau_state)
+            self._plateau = plateau
             lr_of_epoch = lambda e, m: cfg.learning_rate * (
                 plateau.step(m) if m is not None else plateau.scale)
 
-        best_val = float("inf")
-        val_mae = None
-        for epoch in range(epochs):
+        val_mae = last_val_mae
+        for epoch in range(start_epoch, epochs):
+            train_loader.set_epoch(epoch)
             state = state.replace(opt_state=set_learning_rate(
                 state.opt_state, lr_of_epoch(epoch, val_mae)))
             from ..utils.profiling import ThroughputMeter, trace
@@ -456,11 +479,12 @@ class Trainer:
                            val_rmse=val_m["rmse"])
                 if val_mae < best_val:
                     best_val = val_mae
-                    ckpt.save(state, self, epoch=epoch, val_mae=val_mae)
+                    ckpt.save(state, self, epoch=epoch, val_mae=val_mae,
+                              best_val=best_val)
                 # always refresh "last" for crash-safe resume (the reference
                 # only saved top-1; resume needed an explicit --ckp path)
                 ckpt.save(state, self, epoch=epoch,
-                          val_mae=val_mae, tag="last")
+                          val_mae=val_mae, tag="last", best_val=best_val)
         self.last_log_dir = log_dir
         return state
 
@@ -518,14 +542,23 @@ class CheckpointManager:
         os.makedirs(self.dir, exist_ok=True)
 
     def save(self, state: TrainState, trainer: Trainer, *, epoch: int,
-             val_mae: float, tag: str = "best"):
+             val_mae: float, tag: str = "best",
+             best_val: float | None = None):
         import orbax.checkpoint as ocp
         path = os.path.join(self.dir, tag)
         with ocp.PyTreeCheckpointer() as ckptr:
+            # full training state: params + optimizer moments + step, so a
+            # resumed run reproduces the uninterrupted one (the reference's
+            # resume_from_checkpoint restored optimizer + schedule,
+            # train.py:64-76)
             ckptr.save(path, {"params": state.params,
-                              "step": state.step}, force=True)
+                              "step": state.step,
+                              "opt_state": state.opt_state}, force=True)
+        plateau = getattr(trainer, "_plateau", None)
         meta = {
             "epoch": epoch, "val_mae": float(val_mae),
+            "best_val": float(best_val if best_val is not None else val_mae),
+            "plateau": dict(plateau.__dict__) if plateau is not None else None,
             "mean": trainer.mean, "std": trainer.std,
             "trainer_config": dataclasses.asdict(trainer.cfg),
             "model_config": dataclasses.asdict(trainer.model_cfg),
@@ -534,25 +567,46 @@ class CheckpointManager:
             json.dump(meta, f, indent=2, default=str)
 
     @staticmethod
+    def _resolve(ckpt_dir: str) -> str:
+        d = ckpt_dir
+        if os.path.isdir(os.path.join(d, "checkpoints")):
+            d = os.path.join(d, "checkpoints")
+        return d
+
+    @staticmethod
     def load(ckpt_dir: str, tag: str = "best"):
         """Returns (params, meta). ``ckpt_dir`` is .../checkpoints or the
         run dir containing it; ``tag`` selects best|last."""
         import orbax.checkpoint as ocp
-        d = ckpt_dir
-        if os.path.isdir(os.path.join(d, "checkpoints")):
-            d = os.path.join(d, "checkpoints")
+        d = CheckpointManager._resolve(ckpt_dir)
         with open(os.path.join(d, f"{tag}.json")) as f:
             meta = json.load(f)
         with ocp.PyTreeCheckpointer() as ckptr:
             tree = ckptr.restore(os.path.join(d, tag))
         return tree["params"], meta
 
+    @staticmethod
+    def load_state(ckpt_dir: str, template: TrainState,
+                   tag: str = "last") -> TrainState:
+        """Restore the FULL train state (params + step + optimizer moments)
+        into the structure of ``template`` (a freshly built TrainState, so
+        optax NamedTuples round-trip orbax's dict serialisation)."""
+        import orbax.checkpoint as ocp
+        d = CheckpointManager._resolve(ckpt_dir)
+        item = {"params": template.params, "step": template.step,
+                "opt_state": template.opt_state}
+        with ocp.PyTreeCheckpointer() as ckptr:
+            tree = ckptr.restore(os.path.join(d, tag), item=item)
+        return template.replace(params=tree["params"], step=tree["step"],
+                                opt_state=tree["opt_state"])
 
-def load_trainer(ckpt_dir: str, *, train: bool = False, graphs=None,
+
+def load_trainer(run_dir: str, *, train: bool = False, graphs=None,
                  tag: str = "best", **overrides):
     """Rebuild a Trainer + params from a checkpoint
-    (LightningModel.load, lightning_module.py:413-424)."""
-    params, meta = CheckpointManager.load(ckpt_dir, tag=tag)
+    (LightningModel.load, lightning_module.py:413-424). ``overrides`` are
+    TrainerConfig field replacements (e.g. a new ckpt_dir for a resumed run)."""
+    params, meta = CheckpointManager.load(run_dir, tag=tag)
     tcfg_d = dict(meta["trainer_config"])
     tcfg_d.update(overrides)
     # dataclass roundtrip may stringify None
@@ -573,3 +627,23 @@ def load_trainer(ckpt_dir: str, *, train: bool = False, graphs=None,
     # non-grad mean/std Parameters, lightning_module.py:44-46)
     trainer.mean, trainer.std = meta["mean"], meta["std"]
     return trainer, params, meta
+
+
+def resume_trainer(run_dir: str, *, graphs=None, tag: str = "last",
+                   **overrides):
+    """Rebuild a Trainer + FULL TrainState for exact resume.
+
+    Returns ``(trainer, state, meta)``; continue with
+    ``trainer.fit(state, start_epoch=meta['epoch'] + 1,
+    best_val=meta['best_val'], plateau_state=meta['plateau'],
+    last_val_mae=meta['val_mae'])`` — reproduces the uninterrupted run
+    (reference resume_from_checkpoint, train.py:64-76)."""
+    trainer, params, meta = load_trainer(run_dir, train=graphs is None,
+                                         graphs=graphs, tag=tag, **overrides)
+    template = trainer.init_state(params=params)
+    try:
+        state = CheckpointManager.load_state(run_dir, template, tag=tag)
+    except Exception as e:  # pre-round-2 checkpoint without opt_state
+        print(f"warm-start resume (no stored optimizer state: {e})")
+        state = template
+    return trainer, state, meta

@@ -130,6 +130,36 @@ def test_fit_loop_and_checkpoint_roundtrip(tmp_path):
     assert embs.shape == (10, CGATConfig(**TINY_MODEL).embedding_dim)
 
 
+def test_resume_reproduces_uninterrupted_run(tmp_path):
+    """Interrupt at epoch 2, resume from the 'last' checkpoint, and land on
+    bit-identical params vs the uninterrupted 4-epoch run (reference
+    resume_from_checkpoint restored optimizer + schedule, train.py:64-76)."""
+    from cgat_tpu.training.trainer import resume_trainer
+
+    # run A: 4 epochs straight through
+    ta, graphs = make_trainer(ckpt_dir=str(tmp_path / "a"), run_name="a")
+    sa = ta.fit(epochs=4)
+
+    # run B: 2 epochs (val + "last" ckpt at epoch 1), then resume to 4
+    tb, _ = make_trainer(ckpt_dir=str(tmp_path / "b"), run_name="b")
+    tb.fit(epochs=2)
+    trainer2, state2, meta = resume_trainer(
+        tb.last_log_dir, graphs=graphs, tag="last",
+        ckpt_dir=str(tmp_path / "b2"), run_name="b2")
+    assert meta["epoch"] == 1
+    sb = trainer2.fit(state2, epochs=4, start_epoch=meta["epoch"] + 1,
+                      best_val=meta["best_val"],
+                      plateau_state=meta.get("plateau"),
+                      last_val_mae=meta["val_mae"])
+    assert int(sb.step) == int(sa.step)
+    for a, b in zip(jax.tree.leaves(sa.params), jax.tree.leaves(sb.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # optimizer moments restored too, not just params
+    for a, b in zip(jax.tree.leaves(sa.opt_state),
+                    jax.tree.leaves(sb.opt_state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_only_residual_freezes_hidden(tmp_path):
     trainer, _ = make_trainer(ckpt_dir=str(tmp_path), only_residual=True)
     state = trainer.init_state()
