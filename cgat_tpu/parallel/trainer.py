@@ -40,15 +40,24 @@ def _global_metrics(out, batch, mean, std, criterion):
 
 def make_parallel_train_step(model: CGAtNet, tx, criterion, mean, std,
                              mesh: Mesh, *, edge_sharded: bool = True,
-                             donate: bool = True):
+                             donate: bool = True, dropout: bool = False,
+                             seed: int = 0):
     """Returns (step_fn, shard_batch_fn). ``step_fn(state, stacked_batch)``."""
     repl = NamedSharding(mesh, P())
     in_sh = batch_shardings(mesh, edge_sharded)
+    n_replicas = mesh.shape["dp"]
 
     def step_fn(state: TrainState, batch: CrystalBatch):
         def loss_fn(params):
-            out = jax.vmap(
-                lambda b: model.apply({"params": params}, b))(batch)
+            if dropout:
+                keys = jax.random.split(jax.random.fold_in(
+                    jax.random.key(seed), state.step), n_replicas)
+                out = jax.vmap(lambda b, k: model.apply(
+                    {"params": params}, b, deterministic=False,
+                    rngs={"dropout": k}))(batch, keys)
+            else:
+                out = jax.vmap(
+                    lambda b: model.apply({"params": params}, b))(batch)
             return _global_metrics(out, batch, mean, std, criterion)
 
         (loss, metrics), grads = jax.value_and_grad(
@@ -130,8 +139,12 @@ class ParallelLoader:
             self.last_counts = {
                 "edges": sum(len(x.edge_src) for c in chunks for x in c),
                 "graphs": sum(len(c) for c in chunks)}
+            # pin the feature width so empty tail chunks (drop_last=False)
+            # collate to the same shape as the real ones
+            fea = next((c[0].atom_fea.shape[1] for c in chunks if c), None)
             batches = [collate(c, max_nbr=self.max_nbr,
                                num_graphs=bs,
                                num_comp_slots=inner.num_comp_slots,
-                               num_node_slots=n_max) for c in chunks]
+                               num_node_slots=n_max, orig_fea=fea)
+                       for c in chunks]
             yield stack_batches(batches)

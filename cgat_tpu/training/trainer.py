@@ -178,10 +178,19 @@ def _metrics(output, log_std, target, mask, mean, std, criterion):
 
 
 def make_train_step(model: CGAtNet, tx, criterion, mean: float, std: float,
-                    donate: bool = True):
+                    donate: bool = True, dropout: bool = False, seed: int = 0):
+    """``dropout=True`` runs the model stochastically (deterministic=False)
+    with a per-step rng folded from ``state.step`` — reproducible across
+    resume (reference: PyG dropout in message passing, CGAT.py:324)."""
     def step_fn(state: TrainState, batch: CrystalBatch):
         def loss_fn(params):
-            out = model.apply({"params": params}, batch)
+            if dropout:
+                rngs = {"dropout": jax.random.fold_in(
+                    jax.random.key(seed), state.step)}
+                out = model.apply({"params": params}, batch,
+                                  deterministic=False, rngs=rngs)
+            else:
+                out = model.apply({"params": params}, batch)
             output, log_std = out[:, 0], out[:, 1]
             loss, m = _metrics(output, log_std, batch.target,
                                batch.graph_mask, mean, std, criterion)
@@ -198,7 +207,8 @@ def make_train_step(model: CGAtNet, tx, criterion, mean: float, std: float,
 
 
 def make_multi_step(model: CGAtNet, tx, criterion, mean: float, std: float,
-                    donate: bool = True):
+                    donate: bool = True, dropout: bool = False,
+                    seed: int = 0):
     """K train steps fused into ONE dispatch via lax.scan over a stacked
     batch (leading axis = step). Amortises per-dispatch overhead — essential
     on runtimes with high dispatch latency (e.g. the axon TPU tunnel, ~43 ms
@@ -208,7 +218,13 @@ def make_multi_step(model: CGAtNet, tx, criterion, mean: float, std: float,
 
     def one_step(state: TrainState, batch: CrystalBatch):
         def loss_fn(params):
-            out = model.apply({"params": params}, batch)
+            if dropout:
+                rngs = {"dropout": jax.random.fold_in(
+                    jax.random.key(seed), state.step)}
+                out = model.apply({"params": params}, batch,
+                                  deterministic=False, rngs=rngs)
+            else:
+                out = model.apply({"params": params}, batch)
             output, log_std = out[:, 0], out[:, 1]
             loss, m = _metrics(output, log_std, batch.target,
                                batch.graph_mask, mean, std, criterion)
@@ -386,6 +402,7 @@ class Trainer:
 
         n_dev = cfg.n_devices if cfg.n_devices > 0 else len(jax.devices())
         parallel = n_dev > 1 or cfg.edge_shards > 1
+        peval = None
         if parallel:
             # multi-chip path: dp x edge mesh, stacked per-replica batches,
             # XLA SPMD gradient all-reduce (the reference's DDP, train.py:56)
@@ -395,7 +412,8 @@ class Trainer:
                              edge=cfg.edge_shards)
             pstep, shard = make_parallel_train_step(
                 self.model, self.tx, self.criterion, self.mean, self.std,
-                mesh, edge_sharded=cfg.edge_shards > 1)
+                mesh, edge_sharded=cfg.edge_shards > 1,
+                dropout=self.model_cfg.dropout > 0, seed=cfg.seed)
             state = replicate(state, mesh)
             train_step = lambda s, b: pstep(s, shard(b))
             train_loader = ParallelLoader(
@@ -403,12 +421,21 @@ class Trainer:
                 shuffle=True, seed=cfg.seed, max_nbr=cfg.max_nbr,
                 node_bucket=cfg.node_bucket,
                 num_comp_slots=cfg.num_comp_slots)  # None -> loader derives dataset max
+            # validation runs across the mesh too (reference sync_dist
+            # metric reduction, lightning_module.py:261-280)
+            from ..parallel import make_parallel_eval_step
+            peval = make_parallel_eval_step(
+                self.model, self.criterion, self.mean, self.std, mesh,
+                edge_sharded=cfg.edge_shards > 1)
+            n_replicas = mesh.shape["dp"]
         elif cfg.steps_per_dispatch > 1:
             # fuse K steps per dispatch: stacked batches via the same grouped
             # loader the dp path uses, consumed by lax.scan instead of a mesh
             from ..parallel import ParallelLoader
             train_step = make_multi_step(self.model, self.tx, self.criterion,
-                                         self.mean, self.std)
+                                         self.mean, self.std,
+                                         dropout=self.model_cfg.dropout > 0,
+                                         seed=cfg.seed)
             train_loader = ParallelLoader(
                 self.train_graphs, cfg.batch_size, cfg.steps_per_dispatch,
                 shuffle=True, seed=cfg.seed, max_nbr=cfg.max_nbr,
@@ -416,7 +443,9 @@ class Trainer:
                 num_comp_slots=cfg.num_comp_slots)  # None -> loader derives dataset max
         else:
             train_step = make_train_step(self.model, self.tx, self.criterion,
-                                         self.mean, self.std)
+                                         self.mean, self.std,
+                                         dropout=self.model_cfg.dropout > 0,
+                                         seed=cfg.seed)
             train_loader = self._loader(self.train_graphs, shuffle=True)
         eval_step = make_eval_step(self.model, self.criterion,
                                    self.mean, self.std)
@@ -471,8 +500,12 @@ class Trainer:
                        train_rmse=train_m["rmse"], **meter.rates())
 
             if (epoch + 1) % cfg.check_val_every_n_epoch == 0 and self.val_graphs:
-                val_m = self.evaluate_split(state.params, self.val_graphs,
-                                            eval_step)
+                if peval is not None:
+                    val_m = self.evaluate_split_parallel(
+                        state.params, self.val_graphs, peval, n_replicas)
+                else:
+                    val_m = self.evaluate_split(state.params, self.val_graphs,
+                                                eval_step)
                 val_mae = val_m["mae"]
                 logger.log(int(state.step), epoch=epoch,
                            val_loss=val_m["loss"], val_mae=val_m["mae"],
@@ -499,6 +532,28 @@ class Trainer:
         loader.drop_last = False
         for batch in loader:
             m = eval_step(params, batch)
+            tot = m if tot is None else jax.tree.map(jnp.add, tot, m)
+        if tot is None:
+            return {"loss": float("nan"), "mae": float("nan"),
+                    "rmse": float("nan")}
+        n = float(tot.pop("n"))
+        return {k: float(v) / n for k, v in tot.items()}
+
+    def evaluate_split_parallel(self, params, graphs, peval, n_replicas):
+        """Masked-exact metrics over every graph, computed across the mesh
+        (multi-device equivalent of :meth:`evaluate_split`; the tail group is
+        padded with fully masked replica batches, never dropped)."""
+        cfg = self.cfg
+        from ..parallel import ParallelLoader
+        loader = ParallelLoader(graphs, cfg.batch_size, n_replicas,
+                                shuffle=False, seed=cfg.seed,
+                                max_nbr=cfg.max_nbr,
+                                node_bucket=cfg.node_bucket,
+                                num_comp_slots=cfg.num_comp_slots,
+                                drop_last=False)
+        tot = None
+        for batch in loader:
+            m = peval(params, batch)
             tot = m if tot is None else jax.tree.map(jnp.add, tot, m)
         if tot is None:
             return {"loss": float("nan"), "mae": float("nan"),

@@ -112,6 +112,25 @@ def test_parallel_loader_group_shapes():
         assert stacked.target.shape == (4, 2)
 
 
+def test_parallel_eval_matches_single_device():
+    """Mesh evaluation == single-device evaluation, including a padded tail
+    group (21 graphs, batch 2 x 4 replicas)."""
+    from cgat_tpu.parallel import make_parallel_eval_step
+    from cgat_tpu.training import Trainer, TrainerConfig
+    cfg, graphs, model, params = setup(n_graphs=21)
+    tcfg = TrainerConfig(batch_size=2, node_bucket=8, num_comp_slots=8,
+                         max_nbr=4)
+    trainer = Trainer(tcfg, CGATConfig(**TINY), graphs,
+                      mean=0.1, std=1.3)
+    single = trainer.evaluate_split(params, graphs)
+    mesh = make_mesh(dp=4, edge=2)
+    peval = make_parallel_eval_step(model, trainer.criterion, trainer.mean,
+                                    trainer.std, mesh, edge_sharded=True)
+    multi = trainer.evaluate_split_parallel(params, graphs, peval, 4)
+    for k in ("loss", "mae"):
+        np.testing.assert_allclose(multi[k], single[k], rtol=1e-4), k
+
+
 def test_trainer_fit_multi_device(tmp_path):
     """Trainer.fit with n_devices>1 runs the parallel path end to end."""
     from cgat_tpu.models import CGATConfig

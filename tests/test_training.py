@@ -130,6 +130,33 @@ def test_fit_loop_and_checkpoint_roundtrip(tmp_path):
     assert embs.shape == (10, CGATConfig(**TINY_MODEL).embedding_dim)
 
 
+def test_dropout_active_in_training_step(tmp_path):
+    """With model dropout > 0, the train step runs stochastically (different
+    loss from the same state depending on step-derived rng) while eval stays
+    deterministic."""
+    from cgat_tpu.training.trainer import make_train_step
+    graphs = random_graphs(0, 8, n_atoms_range=(3, 6), max_nbr=4, orig_fea=16)
+    cfg = TrainerConfig(batch_size=4, node_bucket=8, num_comp_slots=8,
+                        max_nbr=4, ckpt_dir=str(tmp_path))
+    mcfg = CGATConfig(**{**TINY_MODEL, "dropout": 0.5})
+    trainer = Trainer(cfg, mcfg, graphs)
+    state = trainer.init_state()
+    step = make_train_step(trainer.model, trainer.tx, trainer.criterion,
+                           trainer.mean, trainer.std, donate=False,
+                           dropout=True, seed=0)
+    batch = trainer._example_batch()
+    _, m0 = step(state, batch)
+    # same params, different step counter -> different dropout mask
+    _, m1 = step(state.replace(step=state.step + 1), batch)
+    assert float(m0["loss"]) != float(m1["loss"])
+    # same step counter -> identical (reproducible across resume)
+    _, m2 = step(state, batch)
+    assert float(m0["loss"]) == float(m2["loss"])
+    # deterministic eval unaffected by dropout
+    e = trainer.evaluate_split(state.params, graphs[:4])
+    assert np.isfinite(e["mae"])
+
+
 def test_resume_reproduces_uninterrupted_run(tmp_path):
     """Interrupt at epoch 2, resume from the 'last' checkpoint, and land on
     bit-identical params vs the uninterrupted 4-epoch run (reference
