@@ -168,6 +168,20 @@ def set_learning_rate(opt_state, lr: float):
     return new_state
 
 
+def project_params(params):
+    """Reference parity: HNet's ``damping`` parameter is clamped to [0, 1]
+    in place at every forward (projected gradient,
+    Hypernetworksmp.py:309-313). Functionally that equals projecting the
+    stored parameter after each optimizer update — the forward already uses
+    the straight-through-clipped value."""
+    def proj(path, leaf):
+        key = getattr(path[-1], "key", None) if path else None
+        if key == "damping":
+            return jnp.clip(leaf, 0.0, 1.0)
+        return leaf
+    return jax.tree_util.tree_map_with_path(proj, params)
+
+
 def _metrics(output, log_std, target, mask, mean, std, criterion):
     target_norm = (target - mean) / std
     loss = criterion(output, log_std, target_norm, mask)
@@ -199,7 +213,7 @@ def make_train_step(model: CGAtNet, tx, criterion, mean: float, std: float,
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
+        params = project_params(optax.apply_updates(state.params, updates))
         return state.replace(step=state.step + 1, params=params,
                              opt_state=opt_state), metrics
 
@@ -233,7 +247,7 @@ def make_multi_step(model: CGAtNet, tx, criterion, mean: float, std: float,
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
+        params = project_params(optax.apply_updates(state.params, updates))
         return state.replace(step=state.step + 1, params=params,
                              opt_state=opt_state), metrics
 

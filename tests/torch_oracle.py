@@ -16,11 +16,38 @@ import torch.nn.functional as F
 
 
 def t(x):
+    if torch.is_tensor(x):
+        return x  # pass through live (possibly requires_grad) tensors
     return torch.as_tensor(np.asarray(x), dtype=torch.float32)
 
 
 def ti(x):
+    if torch.is_tensor(x):
+        return x.long()
     return torch.as_tensor(np.asarray(x), dtype=torch.long)
+
+
+def torch_params(params, requires_grad=False):
+    """Flax param tree (numpy/jax leaves) -> same tree of torch tensors.
+
+    With ``requires_grad=True`` the leaves are optimizer-ready: drive the
+    oracle with torch autograd for training-trajectory comparisons."""
+    if isinstance(params, dict):
+        return {k: torch_params(v, requires_grad) for k, v in params.items()}
+    leaf = torch.tensor(np.asarray(params), dtype=torch.float32)
+    if requires_grad:
+        leaf.requires_grad_(True)
+    return leaf
+
+
+def param_leaves(params):
+    out = []
+    if isinstance(params, dict):
+        for k in sorted(params):
+            out.extend(param_leaves(params[k]))
+    else:
+        out.append(params)
+    return out
 
 
 # ---------------------------------------------------------------- blocks
@@ -130,7 +157,16 @@ def h_net_0(p, h0, x, out_ch):
 
 
 def h_net(p, h0, h_t, x, out_ch):
-    d = float(np.clip(np.asarray(p["damping"]).reshape(-1), 0.0, 1.0)[0])
+    d = p["damping"]
+    if torch.is_tensor(d):
+        # reference semantics: damping.data clamped IN PLACE each forward
+        # (projected gradient; Hypernetworksmp.py:309-313) — the autograd
+        # graph sees the clamped value with unit gradient
+        with torch.no_grad():
+            d.clamp_(0.0, 1.0)
+        d = d.reshape(())
+    else:
+        d = float(np.clip(np.asarray(d).reshape(-1), 0.0, 1.0)[0])
     cond = d * h0 + (1.0 - d) * x
     return hyper_fc(p["Hyper"], cond, x, out_ch, out_ch)
 
@@ -186,7 +222,10 @@ def weighted_attention(gate_p, pow_, fea, index, weights, num_segments,
     """roost_message.py:286-317; message_p=None means Identity message."""
     gate = simple_network(gate_p, fea)
     gate = gate - scatter_max(gate, index, num_segments)[index]
-    gate = (weights ** float(np.asarray(pow_).reshape(-1)[0])) * gate.exp()
+    # pow is a learnable scalar (roost_message.py:300) — keep it in-graph
+    pw = pow_.reshape(()) if torch.is_tensor(pow_) else torch.as_tensor(
+        float(np.asarray(pow_).reshape(-1)[0]))
+    gate = (weights ** pw) * gate.exp()
     gate = gate / (scatter_add(gate, index, num_segments)[index] + 1e-13)
     msg = simple_network(message_p, fea) if message_p is not None else fea
     return scatter_add(gate * msg, index, num_segments)
