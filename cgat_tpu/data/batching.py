@@ -89,6 +89,21 @@ def pad_to_bucket(n: int, multiple: int = 64) -> int:
     return max(multiple, _round_up(n, multiple))
 
 
+def edge_shard_counts(graphs: Sequence["CrystalGraph"],
+                      num_node_slots: int, edge_shards: int) -> np.ndarray:
+    """Real-edge count per destination-node slice for a prospective collate
+    of ``graphs`` into ``num_node_slots`` (used to pick a static per-shard
+    edge capacity before building the batch)."""
+    n_loc = num_node_slots // edge_shards
+    counts = np.zeros((edge_shards,), np.int64)
+    base = 0
+    for g in graphs:
+        idx = (g.edge_dst.astype(np.int64) + base) // n_loc
+        counts += np.bincount(idx, minlength=edge_shards)
+        base += g.n_atoms
+    return counts
+
+
 def collate(graphs: Sequence[CrystalGraph],
             *,
             num_graphs: int | None = None,
@@ -96,18 +111,29 @@ def collate(graphs: Sequence[CrystalGraph],
             num_comp_slots: int | None = None,
             max_nbr: int = 24,
             node_bucket: int = 64,
-            orig_fea: int | None = None) -> CrystalBatch:
+            orig_fea: int | None = None,
+            edge_shards: int = 1,
+            edge_slots_per_shard: int | None = None) -> CrystalBatch:
     """Build a static-shape :class:`CrystalBatch` from host graphs.
 
     Mirrors the index-offsetting of the reference collate fns
     (roost_message.py:435-452) then sorts edges by destination and pads.
+
+    ``edge_shards > 1`` lays the edge axis out as S contiguous blocks of
+    ``edge_slots_per_shard`` slots, block ``s`` holding exactly the edges
+    whose destination lies in node slice ``[s*N/S, (s+1)*N/S)`` (dst-sorted
+    within the block, padding edges pointing at the slice's last node). A
+    ``shard_map`` over an ``edge`` mesh axis can then aggregate each block
+    into its local node slice with no cross-shard scatter
+    (SURVEY.md section 5.7 edge partitioning).
     """
     C = num_graphs if num_graphs is not None else len(graphs)
     assert len(graphs) <= C, "more graphs than slots"
     n_real_nodes = sum(g.n_atoms for g in graphs)
     N = num_node_slots if num_node_slots is not None else pad_to_bucket(
-        n_real_nodes, node_bucket)
+        n_real_nodes, node_bucket * edge_shards)
     assert n_real_nodes <= N
+    assert N % edge_shards == 0, (N, edge_shards)
     E = N * max_nbr
     R = num_comp_slots if num_comp_slots is not None else max(
         (g.comp_fea.shape[0] for g in graphs), default=1)
@@ -153,14 +179,47 @@ def collate(graphs: Sequence[CrystalGraph],
 
     e = len(src)
     assert e <= E
-    edge_src = np.full((E,), N - 1, np.int32)
-    edge_dst = np.full((E,), N - 1, np.int32)
-    edge_shell = np.zeros((E,), np.int32)
-    edge_mask = np.zeros((E,), bool)
-    edge_src[:e] = src
-    edge_dst[:e] = dst
-    edge_shell[:e] = shell
-    edge_mask[:e] = True
+    if edge_shards > 1:
+        S = edge_shards
+        n_loc = N // S
+        # per-shard edge counts from the dst-sorted array
+        bounds = np.searchsorted(dst, np.arange(1, S + 1) * n_loc,
+                                 side="left")
+        starts = np.concatenate([[0], bounds[:-1]])
+        counts = bounds - starts
+        if edge_slots_per_shard is None:
+            # round up to a whole number of max_nbr rows per shard so shard
+            # capacity stays a small set of shapes across batches
+            cap = int(pad_to_bucket(int(counts.max()) if e else 1,
+                                    8 * max_nbr))
+        else:
+            cap = edge_slots_per_shard
+        assert (counts <= cap).all(), \
+            f"edge shard overflow: {counts.tolist()} > {cap} slots"
+        E = S * cap
+        edge_src = np.empty((E,), np.int32)
+        edge_dst = np.empty((E,), np.int32)
+        edge_shell = np.zeros((E,), np.int32)
+        edge_mask = np.zeros((E,), bool)
+        for s in range(S):
+            last = (s + 1) * n_loc - 1  # padding target inside slice s
+            blk = slice(s * cap, (s + 1) * cap)
+            edge_src[blk] = last
+            edge_dst[blk] = last
+            c = counts[s]
+            edge_src[s * cap:s * cap + c] = src[starts[s]:bounds[s]]
+            edge_dst[s * cap:s * cap + c] = dst[starts[s]:bounds[s]]
+            edge_shell[s * cap:s * cap + c] = shell[starts[s]:bounds[s]]
+            edge_mask[s * cap:s * cap + c] = True
+    else:
+        edge_src = np.full((E,), N - 1, np.int32)
+        edge_dst = np.full((E,), N - 1, np.int32)
+        edge_shell = np.zeros((E,), np.int32)
+        edge_mask = np.zeros((E,), bool)
+        edge_src[:e] = src
+        edge_dst[:e] = dst
+        edge_shell[:e] = shell
+        edge_mask[:e] = True
 
     collate.last_counts = {"edges": int(e), "graphs": len(graphs),
                            "nodes": int(n_real_nodes)}

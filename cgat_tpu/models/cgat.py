@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import dataclasses
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -91,23 +92,32 @@ class GATConvNodes(nn.Module):
 
     @nn.compact
     def __call__(self, x, edge_src, edge_dst, edge_attr, x_0, edge_mask,
-                 *, deterministic=True):
+                 *, deterministic=True, x_full=None, dst_local=None):
+        """Edge-sharded mode (inside a ``shard_map`` over an edge axis):
+        ``x``/``x_0`` are the LOCAL node slice, ``x_full`` the all-gathered
+        node features for the src/dst gathers, and ``dst_local`` the
+        destination ids shifted into the local slice — aggregation then needs
+        no cross-shard scatter (the collate layout guarantees every local
+        edge's dst lies in the local slice)."""
         num_nodes = x.shape[0]
+        gather_x = x if x_full is None else x_full
+        dst_l = edge_dst if dst_local is None else dst_local
         cat_dim = 2 * self.in_channels + self.nbr_channels
         hidden = int(cat_dim / 1.5)
-        m_cat = jnp.concatenate([x[edge_dst], edge_attr, x[edge_src]], axis=-1)
+        m_cat = jnp.concatenate([gather_x[edge_dst], edge_attr,
+                                 gather_x[edge_src]], axis=-1)
         alpha = MultiHeadNetwork(
             cat_dim, self.out_channels if self.vector_attention else 1,
             hidden, self.heads, dtype=self.dtype, name="MH_A")(m_cat)
         m = MultiHeadNetwork(cat_dim, self.out_channels, hidden, self.heads,
                              dtype=self.dtype, name="MH_M")(m_cat)
         if self.dropout > 0.0 and not deterministic:
-            w = segment_softmax(alpha, edge_dst, num_nodes, mask=edge_mask)
+            w = segment_softmax(alpha, dst_l, num_nodes, mask=edge_mask)
             w = nn.Dropout(self.dropout, deterministic=False)(w)
             weighted = jnp.where(edge_mask[:, None, None], w * m, 0.0)
-            aggr = segment_sum(weighted, edge_dst, num_nodes)
+            aggr = segment_sum(weighted, dst_l, num_nodes)
         else:
-            aggr = edge_softmax_aggregate(alpha, m, edge_dst, num_nodes,
+            aggr = edge_softmax_aggregate(alpha, m, dst_l, num_nodes,
                                           edge_mask=edge_mask)
         aggr = aggr.mean(axis=1)                    # (N, out)  CGAT.py:329
         if self.final:
@@ -141,7 +151,7 @@ class GATConvEdges(nn.Module):
 
     @nn.compact
     def __call__(self, x, edge_src, edge_dst, edge_attr, edge_attr_0,
-                 edge_mask, *, deterministic=True):
+                 edge_mask, *, deterministic=True, x_full=None):
         cat_dim = 2 * self.in_channels + self.nbr_channels
         hidden = int(cat_dim / 1.5)
         mh_a = MultiHeadNetwork(
@@ -159,7 +169,9 @@ class GATConvEdges(nn.Module):
 
         # live hypernetwork path: note concat order [x_src, e, x_dst]
         # (plain indexing, CGAT.py:209-211 — opposite of GATConvNodes)
-        m_cat = jnp.concatenate([x[edge_src], edge_attr, x[edge_dst]], axis=-1)
+        gather_x = x if x_full is None else x_full
+        m_cat = jnp.concatenate([gather_x[edge_src], edge_attr,
+                                 gather_x[edge_dst]], axis=-1)
         alpha = jnp.exp(mh_a(m_cat))
         alpha = alpha / alpha.sum(axis=1, keepdims=True)   # across heads
         if self.dropout > 0.0 and not deterministic:
@@ -208,9 +220,26 @@ class CGAtNet(nn.Module):
 
     @nn.compact
     def __call__(self, batch: CrystalBatch, *, last_layer: bool = True,
-                 return_graph_embedding: bool = False, deterministic: bool = True):
+                 return_graph_embedding: bool = False,
+                 deterministic: bool = True, edge_axis: str | None = None):
+        """``edge_axis``: name of a mesh axis this call runs under (inside
+        ``shard_map``) with the batch edge-partitioned: node/edge arrays are
+        the local shard (collated with ``edge_shards``), composition/target
+        arrays replicated. Node features are all-gathered over the axis at
+        each layer boundary (small (N, F) traffic over ICI) while all per-edge
+        tensors and per-node hypernetwork weights stay local — the GNN
+        analogue of sequence parallelism (SURVEY.md section 5.7)."""
         cfg = self.config
         dt = cfg.dtype
+        if edge_axis is not None:
+            n_loc = batch.nodes.shape[0]
+            offset = jax.lax.axis_index(edge_axis) * n_loc
+            dst_local = batch.edge_dst - offset
+            gather_full = lambda a: jax.lax.all_gather(
+                a, edge_axis, axis=0, tiled=True)
+        else:
+            dst_local = None
+            gather_full = lambda a: None
 
         edge_attr = nn.Embed(cfg.neighbor_number + 1, cfg.nbr_embedding_size,
                              embedding_init=nn.initializers.normal(1.0),
@@ -242,13 +271,16 @@ class CGAtNet(nn.Module):
                             name=f"graph_{i}_Edge")
 
         for i in range(cfg.n_graph):
+            x_full = gather_full(elem_fea)
             if cfg.update_edges:
                 node_update = node_layer(i)(
                     elem_fea, batch.edge_src, batch.edge_dst, edge_attr,
-                    elem_fea_0, batch.edge_mask, deterministic=deterministic)
+                    elem_fea_0, batch.edge_mask, deterministic=deterministic,
+                    x_full=x_full, dst_local=dst_local)
                 edge_attr = edge_attr + edge_layer(i)(
                     elem_fea, batch.edge_src, batch.edge_dst, edge_attr,
-                    edge_attr_0, batch.edge_mask, deterministic=deterministic)
+                    edge_attr_0, batch.edge_mask, deterministic=deterministic,
+                    x_full=x_full)
                 elem_fea = elem_fea + node_update
             else:
                 # Reference's update_edges=False branch passes positionally
@@ -256,7 +288,19 @@ class CGAtNet(nn.Module):
                 # the sane equivalent: node-only attention stack.
                 elem_fea = elem_fea + node_layer(i)(
                     elem_fea, batch.edge_src, batch.edge_dst, edge_attr,
-                    elem_fea_0, batch.edge_mask, deterministic=deterministic)
+                    elem_fea_0, batch.edge_mask, deterministic=deterministic,
+                    x_full=x_full, dst_local=dst_local)
+
+        if edge_axis is not None:
+            # pooling/composition/head run replicated on the full batch
+            # (tiny (C, ...) work); the trainer divides the loss by the edge
+            # axis size so psum'd gradients stay exact
+            elem_fea = gather_full(elem_fea)
+            node_mask = gather_full(batch.node_mask)
+            node2graph = gather_full(batch.node2graph)
+        else:
+            node_mask = batch.node_mask
+            node2graph = batch.node2graph
 
         crys_fea = Roost(cfg.orig_elem_fea_len, cfg.elem_fea_len,
                          cfg.n_graph_roost, dtype=dt, name="roost")(
@@ -265,7 +309,7 @@ class CGAtNet(nn.Module):
                                heads=cfg.msg_heads,
                                vector_attention=cfg.global_vector_attention,
                                dtype=dt, name="cry_pool")(
-            elem_fea, crys_fea, batch.node2graph, batch.node_mask,
+            elem_fea, crys_fea, node2graph, node_mask,
             batch.num_graphs)
 
         if cfg.mean_pooling:

@@ -282,7 +282,9 @@ def edge_softmax_aggregate(alpha, m, edge_dst, num_nodes, *, edge_mask=None,
     Scalar attention (F == 1) and tiny feature dims fall back to XLA.
     """
     if interpret is None:
-        interpret = INTERPRET
+        # off-TPU (tests, dryruns on the virtual CPU mesh) the kernel runs in
+        # the Pallas interpreter, so backend="pallas" is exercisable anywhere
+        interpret = INTERPRET or jax.default_backend() != "tpu"
     e_tot, h, f = alpha.shape
     hf = h * f
     if f == 1 or hf % 128 != 0:

@@ -20,6 +20,9 @@ from ..data.batching import CrystalBatch
 
 # fields whose axis 1 (after stacking) is the edge axis
 _EDGE_FIELDS = ("edge_src", "edge_dst", "edge_shell", "edge_mask")
+# fields whose axis 1 is the node axis (sharded over `edge` in the
+# shard_map path: each edge shard owns the node slice its edges point at)
+_NODE_FIELDS = ("nodes", "node_mask", "node2graph")
 
 
 def stack_batches(batches) -> CrystalBatch:
@@ -30,9 +33,22 @@ def stack_batches(batches) -> CrystalBatch:
 
 
 def batch_pspecs(edge_sharded: bool = True) -> CrystalBatch:
-    """PartitionSpecs for a stacked batch."""
+    """PartitionSpecs for a stacked batch (GSPMD-annotation path)."""
     def spec_for(name):
         if edge_sharded and name in _EDGE_FIELDS:
+            return P("dp", "edge")
+        return P("dp")
+    fields = {name: spec_for(name) for name in CrystalBatch.__dataclass_fields__}
+    return CrystalBatch(**fields)
+
+
+def shardmap_batch_pspecs(edge_sharded: bool = True) -> CrystalBatch:
+    """PartitionSpecs for the shard_map train/eval step: node AND edge
+    arrays partitioned over ``edge`` (the batch must be collated with
+    ``edge_shards`` so each edge block's destinations live in the matching
+    node slice); composition/target arrays replicated across ``edge``."""
+    def spec_for(name):
+        if edge_sharded and name in _EDGE_FIELDS + _NODE_FIELDS:
             return P("dp", "edge")
         return P("dp")
     fields = {name: spec_for(name) for name in CrystalBatch.__dataclass_fields__}

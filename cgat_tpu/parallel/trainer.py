@@ -1,76 +1,116 @@
-"""Multi-chip train/eval steps over a ('dp', 'edge') mesh.
+"""Multi-chip train/eval steps over a ('dp', 'edge') mesh via shard_map.
 
-The model is vmapped over the stacked replica axis; jit + sharding
-annotations let the XLA SPMD partitioner place each replica's compute on its
-``dp`` device and partition the per-edge work over ``edge``, inserting the
-gradient all-reduce that DDP/NCCL provided in the reference (train.py:56) and
-the boundary-node reductions for the edge partition. Loss and metrics are
-globally masked-exact: per-graph losses are summed across every replica and
-divided by the global graph count, so gradients equal the single-device
-computation on the concatenated batch.
+Each mesh cell runs the PLAIN single-device model on its local data — no
+vmap, so the fused Pallas kernel executes per-shard exactly as it does on one
+chip. The ``dp`` axis carries whole replicas (the reference's DDP,
+train.py:56); the ``edge`` axis partitions each replica's node and edge
+arrays (collated with ``edge_shards`` so every edge block's destinations lie
+in the matching node slice): per-edge tensors and per-node hypernetwork
+weights shrink by the shard count, node features are all-gathered over ICI at
+layer boundaries, and aggregation is purely local. The composition/pooling
+tail is recomputed replicated on every edge cell (tiny (C, ...) work); the
+loss is divided by the edge-axis size so the ``psum`` over ('dp','edge')
+yields exact global gradients — identical to the single-device computation on
+the concatenated batch (tested in test_parallel.py).
 """
 from __future__ import annotations
 
-
+import functools
 
 import jax
 import jax.numpy as jnp
 import optax
+from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..data.batching import CrystalBatch
 from ..data.dataset import GraphLoader
 from ..models.cgat import CGAtNet
-from ..training import losses as L
-from ..training.trainer import TrainState
-from .sharding import batch_shardings, stack_batches
+from ..training.trainer import TrainState, project_params
+from .sharding import shardmap_batch_pspecs, stack_batches
 
 
-def _global_metrics(out, batch, mean, std, criterion):
-    """out: (D, C, 2) stacked model outputs."""
-    output, log_std = out[..., 0], out[..., 1]
+def _cell_sums(out, batch, mean, std, criterion):
+    """Masked metric SUMS for one replica's (C, 2) outputs."""
+    output, log_std = out[:, 0], out[:, 1]
     target, mask = batch.target, batch.graph_mask
+    maskf = mask.astype(jnp.float32)
+    n = jnp.sum(maskf)
     target_norm = (target - mean) / std
-    loss = criterion(output, log_std, target_norm, mask)
+    loss_sum = criterion(output, log_std, target_norm, mask) * n
     pred = output * std + mean
-    mae = L.l1(pred, target, mask)
-    rmse = jnp.sqrt(L.mse(pred, target, mask))
+    err = jnp.where(mask, pred - target, 0.0)
+    sae = jnp.sum(jnp.abs(err))
+    sse = jnp.sum(err * err)
+    return loss_sum, sae, sse, n
+
+
+def _global_loss_and_metrics(params, batch, model, criterion, mean, std,
+                             edge_axis, n_edge_shards, rngs):
+    """Globally psum'd masked-mean loss + metrics, computed inside the
+    shard_map body. Differentiating this scalar gives each cell its exact
+    partial gradient (collective transposes carry the cross-cell cotangents);
+    psum of those partials is the full global gradient."""
+    kwargs = {"edge_axis": edge_axis} if edge_axis else {}
+    if rngs is not None:
+        out = model.apply({"params": params}, batch, deterministic=False,
+                          rngs=rngs, **kwargs)
+    else:
+        out = model.apply({"params": params}, batch, **kwargs)
+    loss_sum, sae, sse, n = _cell_sums(out, batch, mean, std, criterion)
+    axes = ("dp", "edge")
+    S = float(n_edge_shards)
+    gcount = jax.lax.psum(jax.lax.stop_gradient(n) / S, axes)
+    loss = jax.lax.psum(loss_sum / S, axes) / gcount
+    mae = jax.lax.psum(sae / S, axes) / gcount
+    rmse = jnp.sqrt(jax.lax.psum(sse / S, axes) / gcount)
     return loss, {"loss": loss, "mae": mae, "rmse": rmse}
+
+
+def _squeeze_dp(batch):
+    return jax.tree.map(lambda x: x[0], batch)
 
 
 def make_parallel_train_step(model: CGAtNet, tx, criterion, mean, std,
                              mesh: Mesh, *, edge_sharded: bool = True,
                              donate: bool = True, dropout: bool = False,
                              seed: int = 0):
-    """Returns (step_fn, shard_batch_fn). ``step_fn(state, stacked_batch)``."""
-    repl = NamedSharding(mesh, P())
-    in_sh = batch_shardings(mesh, edge_sharded)
-    n_replicas = mesh.shape["dp"]
+    """Returns (step_fn, shard_batch_fn). ``step_fn(state, stacked_batch)``.
 
+    ``edge_sharded`` batches must come from a loader/collate with
+    ``edge_shards == mesh.shape['edge']``."""
+    S = mesh.shape["edge"]
+    edge_axis = "edge" if (edge_sharded and S > 1) else None
+    pspecs = shardmap_batch_pspecs(edge_axis is not None)
+    in_sh = jax.tree.map(lambda s: NamedSharding(mesh, s), pspecs,
+                         is_leaf=lambda x: isinstance(x, P))
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(), pspecs), out_specs=(P(), P()), check_vma=False)
     def step_fn(state: TrainState, batch: CrystalBatch):
+        local = _squeeze_dp(batch)
+
         def loss_fn(params):
+            rngs = None
             if dropout:
-                keys = jax.random.split(jax.random.fold_in(
-                    jax.random.key(seed), state.step), n_replicas)
-                out = jax.vmap(lambda b, k: model.apply(
-                    {"params": params}, b, deterministic=False,
-                    rngs={"dropout": k}))(batch, keys)
-            else:
-                out = jax.vmap(
-                    lambda b: model.apply({"params": params}, b))(batch)
-            return _global_metrics(out, batch, mean, std, criterion)
+                k = jax.random.fold_in(jax.random.key(seed), state.step)
+                k = jax.random.fold_in(k, jax.lax.axis_index("dp"))
+                rngs = {"dropout": jax.random.fold_in(
+                    k, jax.lax.axis_index("edge"))}
+            return _global_loss_and_metrics(
+                params, local, model, criterion, mean, std, edge_axis,
+                S if edge_axis else 1, rngs)
 
         (loss, metrics), grads = jax.value_and_grad(
-            lambda p: loss_fn(p), has_aux=True)(state.params)
+            loss_fn, has_aux=True)(state.params)
+        grads = jax.lax.psum(grads, ("dp", "edge"))
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
+        params = project_params(optax.apply_updates(state.params, updates))
         return state.replace(step=state.step + 1, params=params,
                              opt_state=opt_state), metrics
 
-    jitted = jax.jit(step_fn,
-                     in_shardings=(repl, in_sh),
-                     out_shardings=(repl, repl),
-                     donate_argnums=(0,) if donate else ())
+    jitted = jax.jit(step_fn, donate_argnums=(0,) if donate else ())
 
     def shard_batch(batch):
         return jax.device_put(batch, in_sh)
@@ -80,27 +120,44 @@ def make_parallel_train_step(model: CGAtNet, tx, criterion, mean, std,
 
 def make_parallel_eval_step(model: CGAtNet, criterion, mean, std, mesh: Mesh,
                             *, edge_sharded: bool = True):
-    repl = NamedSharding(mesh, P())
-    in_sh = batch_shardings(mesh, edge_sharded)
+    S = mesh.shape["edge"]
+    edge_axis = "edge" if (edge_sharded and S > 1) else None
+    pspecs = shardmap_batch_pspecs(edge_axis is not None)
 
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(), pspecs), out_specs=P(), check_vma=False)
     def step_fn(params, batch: CrystalBatch):
-        out = jax.vmap(lambda b: model.apply({"params": params}, b))(batch)
-        _, m = _global_metrics(out, batch, mean, std, criterion)
-        n = jnp.sum(batch.graph_mask.astype(jnp.float32))
-        return {k: v * n for k, v in m.items()} | {"n": n}
+        local = _squeeze_dp(batch)
+        kwargs = {"edge_axis": edge_axis} if edge_axis else {}
+        out = model.apply({"params": params}, local, **kwargs)
+        loss_sum, sae, sse, n = _cell_sums(out, local, mean, std, criterion)
+        Sf = float(S if edge_axis else 1)
+        axes = ("dp", "edge")
+        n_g = jax.lax.psum(n / Sf, axes)
+        sums = {"loss": jax.lax.psum(loss_sum / Sf, axes),
+                "mae": jax.lax.psum(sae / Sf, axes),
+                # rmse aggregated like evaluate_split: per-call sqrt of the
+                # global mean, scaled back to a sum
+                "rmse": jnp.sqrt(jax.lax.psum(sse / Sf, axes)
+                                 / jnp.maximum(n_g, 1.0)) * n_g}
+        return sums | {"n": n_g}
 
-    return jax.jit(step_fn, in_shardings=(repl, in_sh), out_shardings=repl)
+    return jax.jit(step_fn)
 
 
 class ParallelLoader:
     """Groups D consecutive minibatches into one stacked batch.
 
     All members of a group are padded to the same node-slot count so shapes
-    line up across the stack (the group's max bucket)."""
+    line up across the stack (the group's max bucket). With
+    ``edge_shards > 1`` every member is collated in the dst-blocked layout
+    (see ``cgat_tpu.data.batching.collate``) with a shared per-shard edge
+    capacity so the stacked group shards cleanly over the ``edge`` axis."""
 
     def __init__(self, graphs, batch_size: int, n_replicas: int, *,
                  shuffle=False, seed=0, max_nbr=24, node_bucket=64,
-                 num_comp_slots=None, drop_last=True):
+                 num_comp_slots=None, drop_last=True, edge_shards=1):
         self.inner = GraphLoader(graphs, batch_size, shuffle=shuffle,
                                  seed=seed, max_nbr=max_nbr,
                                  node_bucket=node_bucket,
@@ -110,6 +167,7 @@ class ParallelLoader:
         self.max_nbr = max_nbr
         self.node_bucket = node_bucket
         self.drop_last = drop_last
+        self.edge_shards = edge_shards
 
     def __len__(self):
         if self.drop_last:
@@ -134,17 +192,27 @@ class ParallelLoader:
             for d in range(D):
                 idx = order[(g * D + d) * bs:(g * D + d + 1) * bs]
                 chunks.append([order_graphs[i] for i in idx])
+            S = self.edge_shards
             n_max = max(pad_to_bucket(sum(x.n_atoms for x in c),
                                       self.node_bucket) for c in chunks)
+            if S > 1 and n_max % S:
+                n_max += S - n_max % S
             self.last_counts = {
                 "edges": sum(len(x.edge_src) for c in chunks for x in c),
                 "graphs": sum(len(c) for c in chunks)}
             # pin the feature width so empty tail chunks (drop_last=False)
             # collate to the same shape as the real ones
             fea = next((c[0].atom_fea.shape[1] for c in chunks if c), None)
+            cap = None
+            if S > 1:
+                from ..data.batching import edge_shard_counts
+                worst = max(int(edge_shard_counts(c, n_max, S).max())
+                            for c in chunks)
+                cap = pad_to_bucket(max(worst, 1), 8 * self.max_nbr)
             batches = [collate(c, max_nbr=self.max_nbr,
                                num_graphs=bs,
                                num_comp_slots=inner.num_comp_slots,
-                               num_node_slots=n_max, orig_fea=fea)
+                               num_node_slots=n_max, orig_fea=fea,
+                               edge_shards=S, edge_slots_per_shard=cap)
                        for c in chunks]
             yield stack_batches(batches)

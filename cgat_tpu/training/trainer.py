@@ -434,7 +434,8 @@ class Trainer:
                 self.train_graphs, cfg.batch_size, mesh.shape["dp"],
                 shuffle=True, seed=cfg.seed, max_nbr=cfg.max_nbr,
                 node_bucket=cfg.node_bucket,
-                num_comp_slots=cfg.num_comp_slots)  # None -> loader derives dataset max
+                num_comp_slots=cfg.num_comp_slots,  # None -> loader derives dataset max
+                edge_shards=cfg.edge_shards)
             # validation runs across the mesh too (reference sync_dist
             # metric reduction, lightning_module.py:261-280)
             from ..parallel import make_parallel_eval_step
@@ -564,7 +565,8 @@ class Trainer:
                                 max_nbr=cfg.max_nbr,
                                 node_bucket=cfg.node_bucket,
                                 num_comp_slots=cfg.num_comp_slots,
-                                drop_last=False)
+                                drop_last=False,
+                                edge_shards=cfg.edge_shards)
         tot = None
         for batch in loader:
             m = peval(params, batch)
