@@ -2,13 +2,24 @@
 
 Prints ONE JSON line:
   {"metric": "train_edges_per_sec_per_chip", "value": N, "unit": "edges/s",
-   "vs_baseline": R}
+   "vs_baseline": R, "edges_per_sec_f32": N2, "edges_per_sec_b128": N3,
+   "mfu": F, "tflops_per_sec": T, "flops_per_step": F1}
 
-The metric is the north-star edges/s/chip (BASELINE.md): real (unpadded)
-edges processed per second through a full jitted train step (fwd + bwd +
-AdamW) of the reference-default model (128 fea, 5 layers, 5 heads, 24
-neighbors). ``vs_baseline`` compares against BENCH_BASELINE.json, written on
-the first ever run (the reference repo publishes no numbers — BASELINE.md).
+The primary metric is the north-star edges/s/chip (BASELINE.md): real
+(unpadded) edges processed per second through a full jitted train step
+(fwd + bwd + AdamW) of the reference-default model (128 fea, 5 layers,
+5 heads, 24 neighbors) at batch 64, run in the production configuration:
+Pallas fused segment-attention + bfloat16 compute with float32 parameters
+(the reference's apex-AMP analogue; convergence parity demonstrated in
+docs/PERFORMANCE.md). ``vs_baseline`` compares against BENCH_BASELINE.json
+(the unoptimized XLA-f32 anchor, written on the first ever run — the
+reference repo publishes no numbers, BASELINE.md). ``edges_per_sec_f32``
+tracks the full-f32 path for continuity with that anchor.
+
+MFU makes the "speed-of-light" claim checkable round over round: analytic
+FLOPs of one training step (fwd x3 for fwd+bwd, computed from the model
+config and the PADDED batch dims actually executed) divided by measured step
+time, as a fraction of the v5e bf16 MXU peak (197 TFLOP/s).
 """
 from __future__ import annotations
 
@@ -28,9 +39,59 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "BENCH_BASELINE.json")
+V5E_PEAK_FLOPS = 197e12  # bf16 MXU peak per chip
 
 
-def build():
+def analytic_forward_flops(cfg, n_nodes: int, n_edge_slots: int,
+                           n_graphs: int, n_comp_slots: int) -> float:
+    """Matmul FLOPs (2*M*N*K) of one forward pass on the padded batch —
+    every term the hardware executes, padding included. Elementwise work is
+    ignored (<2% of total)."""
+    F = cfg.elem_fea_len
+    Fe = cfg.nbr_embedding_size
+    H = cfg.msg_heads
+    cat = 2 * F + Fe
+    hidden = int(cat / 1.5)
+    E, N, C, R = n_edge_slots, n_nodes, n_graphs, n_comp_slots
+
+    mh = lambda d_in, d_hid, d_out: 2.0 * (d_in * d_hid + d_hid * d_out)
+    total = 0.0
+    # element embedding (N, 200 -> F)
+    total += 2.0 * N * cfg.orig_elem_fea_len * F
+
+    # per MP layer
+    per_edge = 2 * H * mh(cat, hidden, F)        # MH_A + MH_M (vector att)
+    # node hypernetwork: 4 HyperLinears, each FCBlock = 4x(F->F) + F->(F*F+F),
+    # plus the BatchLinear einsum (N, F, F)
+    fcb = 2.0 * (4 * F * F + F * (F * F + F))
+    per_node_hyper = 4 * (fcb + 2.0 * F * F)
+    # edge update (no_hyper): SimpleNetwork Fe -> Fe -> Fe per edge, plus the
+    # dead-branch registration (1-row, negligible)
+    per_edge_upd = 2.0 * (Fe * Fe + Fe * Fe)
+    total += cfg.n_graph * (E * (per_edge + per_edge_upd)
+                            + N * per_node_hyper)
+
+    # roost: embed (C*R, 200 -> F-1) + n_graph_roost x dense pair nets
+    total += 2.0 * C * R * cfg.orig_elem_fea_len * (F - 1)
+    pair = C * R * R
+    gate = 2.0 * (2 * F * 256 + 256 * 1)
+    msg = 2.0 * (2 * F * 256 + 256 * F)
+    total += cfg.n_graph_roost * pair * (gate + msg)
+    total += pair * gate  # crystal pool gate
+
+    # global pool: MH_M (N, F->F->F per head), MH_A (N, 2F->F->F per head)
+    total += N * H * (mh(F, F, F) + mh(2 * F, F, F))
+
+    # output head
+    dims = [F * H] + list(cfg.out_hidden) + [2]
+    head = sum(2.0 * a * b for a, b in zip(dims[:-1], dims[1:]))
+    # residual projections where width changes
+    head += sum(2.0 * a * b for a, b in zip(dims[:-2], dims[1:-1]) if a != b)
+    total += C * head
+    return total
+
+
+def build(batch_size: int = 64, compute_dtype: str = "bfloat16"):
     from cgat_tpu.ops import attention as _att
     if jax.default_backend() == "tpu":
         _att.set_backend("pallas")  # 2.1x the XLA step (honest measurement)
@@ -40,11 +101,14 @@ def build():
     from cgat_tpu.training import TrainerConfig, losses, make_optimizer
     from cgat_tpu.training.trainer import TrainState, make_train_step
 
-    cfg = CGATConfig()
-    # realistic training batch: 64 crystals, ~12 atoms each (dcgat-like)
-    graphs = random_graphs(0, 64, n_atoms_range=(8, 16), max_nbr=24)
+    cfg = CGATConfig(compute_dtype=compute_dtype)
+    # realistic training batch: ~12 atoms per crystal (dcgat-like)
+    graphs = random_graphs(0, batch_size, n_atoms_range=(8, 16), max_nbr=24)
     batch = collate(graphs, max_nbr=24, node_bucket=64)
     n_real_edges = int(np.asarray(jnp.sum(batch.edge_mask)))
+    fwd_flops = analytic_forward_flops(
+        cfg, batch.num_node_slots, batch.num_edge_slots, batch.num_graphs,
+        batch.comp_fea.shape[1])
 
     model = CGAtNet(cfg)
     # host-side numpy init: instant, and avoids the axon runtime pathology
@@ -57,7 +121,31 @@ def build():
                        opt_state=tx.init(params))
     criterion = losses.make_loss("L1", False)
     step = make_train_step(model, tx, criterion, 0.0, 1.0, donate=True)
-    return step, state, batch, n_real_edges
+    return step, state, batch, n_real_edges, fwd_flops
+
+
+def measure(batch_size: int, compute_dtype: str = "bfloat16",
+            n_iters: int = 20, trials: int = 3):
+    step, state, batch, n_edges, fwd_flops = build(batch_size, compute_dtype)
+    state, m = step(state, batch)
+    _ = float(m["loss"])  # compile + sync
+    best = float("inf")
+    for _trial in range(trials):
+        t0 = time.perf_counter()
+        for _ in range(n_iters):
+            state, m = step(state, batch)
+        _ = float(m["loss"])  # forces execution of the whole chain
+        best = min(best, time.perf_counter() - t0)
+    sec_per_step = best / n_iters
+    # fwd + bwd ~ 3x forward FLOPs (bwd does 2 matmuls per fwd matmul)
+    step_flops = 3.0 * fwd_flops
+    return {
+        "edges_per_sec": n_edges / sec_per_step,
+        "sec_per_step": sec_per_step,
+        "flops_per_step": step_flops,
+        "tflops_per_sec": step_flops / sec_per_step / 1e12,
+        "mfu": step_flops / sec_per_step / V5E_PEAK_FLOPS,
+    }
 
 
 def main():
@@ -66,18 +154,18 @@ def main():
     # synchronous-execution mode up front and read a metric after every timed
     # loop so the chain really ran.
     _ = float(jnp.sum(jnp.ones((4,))))
-    step, state, batch, n_edges = build()
-    state, m = step(state, batch)
-    _ = float(m["loss"])  # compile + sync
-    n_iters = 20
-    best = float("inf")
-    for _trial in range(3):
-        t0 = time.perf_counter()
-        for _ in range(n_iters):
-            state, m = step(state, batch)
-        _ = float(m["loss"])  # forces execution of the whole chain
-        best = min(best, time.perf_counter() - t0)
-    edges_per_sec = n_edges * n_iters / best
+    r64 = measure(64)
+    edges_per_sec = r64["edges_per_sec"]
+    extras = {}
+    for key, kwargs in (
+            ("edges_per_sec_f32", dict(batch_size=64, compute_dtype="float32",
+                                       n_iters=10, trials=2)),
+            ("edges_per_sec_b128", dict(batch_size=128, n_iters=10, trials=2)),
+    ):
+        try:
+            extras[key] = round(measure(**kwargs)["edges_per_sec"], 1)
+        except Exception:
+            extras[key] = None
 
     if os.path.exists(BASELINE_FILE):
         with open(BASELINE_FILE) as f:
@@ -94,6 +182,10 @@ def main():
         "value": round(edges_per_sec, 1),
         "unit": "edges/s",
         "vs_baseline": round(edges_per_sec / base, 3),
+        **extras,
+        "mfu": round(r64["mfu"], 4),
+        "tflops_per_sec": round(r64["tflops_per_sec"], 2),
+        "flops_per_step": r64["flops_per_step"],
     }))
 
 

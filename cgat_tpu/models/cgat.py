@@ -61,6 +61,10 @@ class CGATConfig:
     out_hidden: tuple = (1024, 1024, 512, 512, 256, 256, 128)
     compute_dtype: str = "float32"    # "bfloat16" for mixed precision
     remat: bool = False               # rematerialise MP layers in backward
+    hyper_remat: bool = False         # rematerialise only the HyperLinears
+    #   (selective: recompute the (B, out*in+out) predicted-param tensors in
+    #   backward instead of keeping them live — they dominate activation HBM
+    #   at large batch; far cheaper than full-layer remat)
 
     @property
     def dtype(self):
@@ -89,6 +93,7 @@ class GATConvNodes(nn.Module):
     final: bool = False
     dropout: float = 0.0
     dtype: jnp.dtype | None = None
+    hyper_remat: bool = False
 
     @nn.compact
     def __call__(self, x, edge_src, edge_dst, edge_attr, x_0, edge_mask,
@@ -125,9 +130,9 @@ class GATConvNodes(nn.Module):
         c = self.out_channels
         if self.first:
             return HNet0(c, 3, c, c, 2, c, c, dtype=self.dtype,
-                         name="Pooling_NN")(x, aggr)
+                         remat=self.hyper_remat, name="Pooling_NN")(x, aggr)
         return HNet(c, 3, c, c, 2, c, c, dtype=self.dtype,
-                    name="Pooling_NN")(x_0, x, aggr)
+                    remat=self.hyper_remat, name="Pooling_NN")(x_0, x, aggr)
 
 
 class GATConvEdges(nn.Module):
@@ -148,6 +153,7 @@ class GATConvEdges(nn.Module):
     no_hyper: bool = True
     dropout: float = 0.0
     dtype: jnp.dtype | None = None
+    hyper_remat: bool = False
 
     @nn.compact
     def __call__(self, x, edge_src, edge_dst, edge_attr, edge_attr_0,
@@ -181,8 +187,10 @@ class GATConvEdges(nn.Module):
         c = self.out_channels
         if self.first:
             return HNet0(c, 3, c, c, 2, c, c, dtype=self.dtype,
+                         remat=self.hyper_remat,
                          name="Pooling_NN")(edge_attr, aggr)
         return HNet(c, 3, c, c, 2, c, c, dtype=self.dtype,
+                    remat=self.hyper_remat,
                     name="Pooling_NN")(edge_attr_0, edge_attr, aggr)
 
 
@@ -260,6 +268,7 @@ class CGAtNet(nn.Module):
                             cfg.nbr_embedding_size, cfg.msg_heads,
                             vector_attention=cfg.vector_attention,
                             first=(i == 0), dropout=cfg.dropout, dtype=dt,
+                            hyper_remat=cfg.hyper_remat,
                             name=f"graph_{i}_Node")
 
         def edge_layer(i):
@@ -268,6 +277,7 @@ class CGAtNet(nn.Module):
                             vector_attention=cfg.vector_attention,
                             first=(i == 0), no_hyper=cfg.no_hyper,
                             dropout=cfg.dropout, dtype=dt,
+                            hyper_remat=cfg.hyper_remat,
                             name=f"graph_{i}_Edge")
 
         for i in range(cfg.n_graph):

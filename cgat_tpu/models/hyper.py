@@ -102,20 +102,26 @@ class HyperFC(nn.Module):
     in_ch: int
     out_ch: int
     dtype: jnp.dtype | None = None
+    remat: bool = False
 
     @nn.compact
     def __call__(self, cond, x):
+        # selective remat: each HyperLinear's (B, out*in+out) predicted-param
+        # tensor dominates activation memory (N x 16.5k floats per call at
+        # flagship dims); rematerialising just these blocks trades ~2x the
+        # hyper matmuls in backward for not spilling those tensors to HBM
+        cls = nn.remat(HyperLinear) if self.remat else HyperLinear
         dims_in = [self.in_ch] + [self.hidden_ch] * self.num_hidden_layers
         for i, d_in in enumerate(dims_in):
-            x = HyperLinear(d_in, self.hidden_ch,
-                            self.hyper_num_hidden_layers, self.hyper_hidden_ch,
-                            dtype=self.dtype, name=f"layer_{i}")(cond, x)
+            x = cls(d_in, self.hidden_ch,
+                    self.hyper_num_hidden_layers, self.hyper_hidden_ch,
+                    dtype=self.dtype, name=f"layer_{i}")(cond, x)
             x = nn.LayerNorm(use_bias=False, use_scale=False,
                              epsilon=1e-5)(x)
             x = jnp.tanh(x)
-        return HyperLinear(self.hidden_ch, self.out_ch,
-                           self.hyper_num_hidden_layers, self.hyper_hidden_ch,
-                           dtype=self.dtype, name="layer_last")(cond, x)
+        return cls(self.hidden_ch, self.out_ch,
+                   self.hyper_num_hidden_layers, self.hyper_hidden_ch,
+                   dtype=self.dtype, name="layer_last")(cond, x)
 
 
 class HNet0(nn.Module):
@@ -129,13 +135,14 @@ class HNet0(nn.Module):
     in_ch: int
     out_ch: int
     dtype: jnp.dtype | None = None
+    remat: bool = False
 
     @nn.compact
     def __call__(self, h_0, x):
         return HyperFC(self.hyper_num_hidden_layers, self.hyper_hidden_ch,
                        self.hidden_ch, self.num_hidden_layers,
                        self.in_ch, self.out_ch, dtype=self.dtype,
-                       name="Hyper")(h_0, x)
+                       remat=self.remat, name="Hyper")(h_0, x)
 
 
 class HNet(nn.Module):
@@ -155,6 +162,7 @@ class HNet(nn.Module):
     in_ch: int
     out_ch: int
     dtype: jnp.dtype | None = None
+    remat: bool = False
 
     @nn.compact
     def __call__(self, h_0, h_t, x):
@@ -164,4 +172,4 @@ class HNet(nn.Module):
         return HyperFC(self.hyper_num_hidden_layers, self.hyper_hidden_ch,
                        self.hidden_ch, self.num_hidden_layers,
                        self.in_ch, self.out_ch, dtype=self.dtype,
-                       name="Hyper")(cond, x)
+                       remat=self.remat, name="Hyper")(cond, x)

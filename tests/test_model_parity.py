@@ -170,3 +170,24 @@ def test_per_layer_activation_parity():
     got_pool = np.asarray(inter["cry_pool"]["__call__"][0])[: pool.shape[0]]
     np.testing.assert_allclose(got_pool, pool.numpy(), rtol=5e-4, atol=5e-5,
                                err_msg="cry_pool")
+
+
+def test_hyper_remat_is_equivalent():
+    """`hyper_remat` must change memory behavior only: same params tree,
+    identical forward, and bit-identical gradients (remat recomputes the
+    same ops in the same order)."""
+    cfg, graphs, batch, model, params, _ = build(seed=3)
+    cfg_r = CGATConfig(**{**SMALL, "hyper_remat": True})
+    model_r = CGAtNet(cfg_r)
+    params_r = model_r.init(jax.random.key(3), batch)["params"]
+    chex = jax.tree.structure(params) == jax.tree.structure(params_r)
+    assert chex, "remat must not alter the parameter tree"
+
+    def loss(m, p):
+        return jnp.mean(m.apply({"params": p}, batch) ** 2)
+
+    l0, g0 = jax.value_and_grad(lambda p: loss(model, p))(params)
+    l1, g1 = jax.value_and_grad(lambda p: loss(model_r, p))(params)
+    assert float(l0) == float(l1)
+    jax.tree.map(lambda a, b: np.testing.assert_array_equal(
+        np.asarray(a), np.asarray(b)), g0, g1)
