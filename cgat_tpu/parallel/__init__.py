@@ -1,3 +1,8 @@
+from .distributed import (
+    local_dp_rows,
+    make_batch_sharder,
+    maybe_initialize_distributed,
+)
 from .mesh import make_mesh
 from .sharding import (
     batch_shardings,
@@ -9,6 +14,9 @@ from .trainer import ParallelLoader, make_parallel_eval_step, make_parallel_trai
 
 __all__ = [
     "make_mesh",
+    "maybe_initialize_distributed",
+    "local_dp_rows",
+    "make_batch_sharder",
     "batch_shardings",
     "replicate",
     "shard_stacked_batch",

@@ -36,8 +36,7 @@ def make_mesh(dp: int | None = None, edge: int = 1, *,
 
 
 def maybe_initialize_distributed():
-    """Multi-host: call jax.distributed.initialize when env vars indicate a
-    pod slice (no-op on single host)."""
-    import os
-    if os.environ.get("JAX_COORDINATOR_ADDRESS"):
-        jax.distributed.initialize()
+    """Multi-host: initialise jax.distributed when env vars indicate a pod
+    slice (no-op on single host). See parallel/distributed.py."""
+    from .distributed import maybe_initialize_distributed as _init
+    return _init()

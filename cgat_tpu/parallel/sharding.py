@@ -26,9 +26,13 @@ _NODE_FIELDS = ("nodes", "node_mask", "node2graph")
 
 
 def stack_batches(batches) -> CrystalBatch:
-    """Stack D same-shape CrystalBatches on a new leading axis (numpy)."""
+    """Stack D same-shape CrystalBatches on a new leading axis.
+
+    Host-side numpy: the stacked batch must stay uncommitted so the batch
+    sharder can place (or, multi-process, globalise) it without a bounce
+    through the default device."""
     def stack(*xs):
-        return jnp.stack(xs)
+        return np.stack([np.asarray(x) for x in xs])
     return jax.tree.map(stack, *batches)
 
 
@@ -68,6 +72,18 @@ def shard_stacked_batch(batch: CrystalBatch, mesh: Mesh,
 
 
 def replicate(tree, mesh: Mesh):
-    """Fully replicate a pytree (params / train state) over the mesh."""
+    """Fully replicate a pytree (params / train state) over the mesh.
+
+    Multi-process: every process must hold the same host values (same init
+    seed); each fills its local copies via ``make_array_from_callback`` —
+    no cross-host transfer."""
     s = NamedSharding(mesh, P())
-    return jax.tree.map(lambda x: jax.device_put(x, s), tree)
+    if jax.process_count() == 1:
+        return jax.tree.map(lambda x: jax.device_put(x, s), tree)
+
+    def rep(x):
+        x = np.asarray(x)
+        return jax.make_array_from_callback(
+            x.shape, s, lambda idx, _x=x: _x[idx])
+
+    return jax.tree.map(rep, tree)

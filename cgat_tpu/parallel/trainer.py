@@ -21,12 +21,13 @@ import jax
 import jax.numpy as jnp
 import optax
 from jax import shard_map
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from ..data.batching import CrystalBatch
 from ..data.dataset import GraphLoader
 from ..models.cgat import CGAtNet
 from ..training.trainer import TrainState, project_params
+from .distributed import make_batch_sharder
 from .sharding import shardmap_batch_pspecs, stack_batches
 
 
@@ -82,8 +83,7 @@ def make_parallel_train_step(model: CGAtNet, tx, criterion, mean, std,
     S = mesh.shape["edge"]
     edge_axis = "edge" if (edge_sharded and S > 1) else None
     pspecs = shardmap_batch_pspecs(edge_axis is not None)
-    in_sh = jax.tree.map(lambda s: NamedSharding(mesh, s), pspecs,
-                         is_leaf=lambda x: isinstance(x, P))
+    shard_batch = make_batch_sharder(mesh, pspecs)
 
     @functools.partial(
         shard_map, mesh=mesh,
@@ -111,10 +111,6 @@ def make_parallel_train_step(model: CGAtNet, tx, criterion, mean, std,
                              opt_state=opt_state), metrics
 
     jitted = jax.jit(step_fn, donate_argnums=(0,) if donate else ())
-
-    def shard_batch(batch):
-        return jax.device_put(batch, in_sh)
-
     return jitted, shard_batch
 
 
@@ -123,6 +119,7 @@ def make_parallel_eval_step(model: CGAtNet, criterion, mean, std, mesh: Mesh,
     S = mesh.shape["edge"]
     edge_axis = "edge" if (edge_sharded and S > 1) else None
     pspecs = shardmap_batch_pspecs(edge_axis is not None)
+    shard_batch = make_batch_sharder(mesh, pspecs)
 
     @functools.partial(
         shard_map, mesh=mesh,
@@ -143,7 +140,12 @@ def make_parallel_eval_step(model: CGAtNet, criterion, mean, std, mesh: Mesh,
                                  / jnp.maximum(n_g, 1.0)) * n_g}
         return sums | {"n": n_g}
 
-    return jax.jit(step_fn)
+    jitted = jax.jit(step_fn)
+
+    def eval_fn(params, batch):
+        return jitted(params, shard_batch(batch))
+
+    return eval_fn
 
 
 class ParallelLoader:
@@ -153,11 +155,20 @@ class ParallelLoader:
     line up across the stack (the group's max bucket). With
     ``edge_shards > 1`` every member is collated in the dst-blocked layout
     (see ``cgat_tpu.data.batching.collate``) with a shared per-shard edge
-    capacity so the stacked group shards cleanly over the ``edge`` axis."""
+    capacity so the stacked group shards cleanly over the ``edge`` axis.
+
+    Multi-host: pass ``process_index``/``process_count`` (usually
+    ``jax.process_index()``/``jax.process_count()``). Every process computes
+    the same deterministic order and the same group-wide pad dims (cheap,
+    graph metadata only) but collates ONLY its own ``D / process_count``
+    replica chunks — the dp rows owned by its local chips — and yields that
+    local stack; ``make_batch_sharder`` globalises it. The reference's
+    per-rank DistributedSampler split, done host-side (train.py:100-104)."""
 
     def __init__(self, graphs, batch_size: int, n_replicas: int, *,
                  shuffle=False, seed=0, max_nbr=24, node_bucket=64,
-                 num_comp_slots=None, drop_last=True, edge_shards=1):
+                 num_comp_slots=None, drop_last=True, edge_shards=1,
+                 process_index=0, process_count=1):
         self.inner = GraphLoader(graphs, batch_size, shuffle=shuffle,
                                  seed=seed, max_nbr=max_nbr,
                                  node_bucket=node_bucket,
@@ -168,6 +179,11 @@ class ParallelLoader:
         self.node_bucket = node_bucket
         self.drop_last = drop_last
         self.edge_shards = edge_shards
+        if n_replicas % process_count:
+            raise ValueError(f"n_replicas={n_replicas} not divisible by "
+                             f"process_count={process_count}")
+        self.process_index = process_index
+        self.process_count = process_count
 
     def __len__(self):
         if self.drop_last:
@@ -209,10 +225,15 @@ class ParallelLoader:
                 worst = max(int(edge_shard_counts(c, n_max, S).max())
                             for c in chunks)
                 cap = pad_to_bucket(max(worst, 1), 8 * self.max_nbr)
+            # pad dims above are GROUP-wide (identical in every process);
+            # collate only this process's replica chunks
+            d_local = D // self.process_count
+            local = chunks[self.process_index * d_local:
+                           (self.process_index + 1) * d_local]
             batches = [collate(c, max_nbr=self.max_nbr,
                                num_graphs=bs,
                                num_comp_slots=inner.num_comp_slots,
                                num_node_slots=n_max, orig_fea=fea,
                                edge_shards=S, edge_slots_per_shard=cap)
-                       for c in chunks]
+                       for c in local]
             yield stack_batches(batches)

@@ -282,7 +282,13 @@ class MetricsLogger:
     """JSONL metrics log + optional TensorBoard (reference used
     TensorBoardLogger, train.py:40)."""
 
-    def __init__(self, log_dir: str, tensorboard: bool = False):
+    def __init__(self, log_dir: str, tensorboard: bool = False,
+                 enabled: bool = True):
+        # multi-host: only process 0 writes (the reference's rank_zero
+        # Lightning logging); other ranks get a no-op logger
+        self.enabled = enabled
+        if not enabled:
+            return
         os.makedirs(log_dir, exist_ok=True)
         self.path = os.path.join(log_dir, "metrics.jsonl")
         self._tb = None
@@ -294,6 +300,8 @@ class MetricsLogger:
                 self._tb = None
 
     def log(self, step: int, **metrics):
+        if not self.enabled:
+            return
         rec = {"step": step, "time": time.time()}
         rec.update({k: float(v) for k, v in metrics.items()})
         with open(self.path, "a") as f:
@@ -435,7 +443,9 @@ class Trainer:
                 shuffle=True, seed=cfg.seed, max_nbr=cfg.max_nbr,
                 node_bucket=cfg.node_bucket,
                 num_comp_slots=cfg.num_comp_slots,  # None -> loader derives dataset max
-                edge_shards=cfg.edge_shards)
+                edge_shards=cfg.edge_shards,
+                process_index=jax.process_index(),
+                process_count=jax.process_count())
             # validation runs across the mesh too (reference sync_dist
             # metric reduction, lightning_module.py:261-280)
             from ..parallel import make_parallel_eval_step
@@ -466,8 +476,9 @@ class Trainer:
                                    self.mean, self.std)
         run_name = cfg.run_name or f"f-{cfg.seed}_t-{time.strftime('%Y-%m-%d_%H-%M-%S')}"
         log_dir = os.path.join(cfg.ckpt_dir, "runs", run_name)
-        logger = MetricsLogger(log_dir, cfg.log_tensorboard)
-        ckpt = CheckpointManager(log_dir)
+        is_main = jax.process_index() == 0
+        logger = MetricsLogger(log_dir, cfg.log_tensorboard, enabled=is_main)
+        ckpt = CheckpointManager(log_dir) if is_main else None
 
         if cfg.clr:
             sched = schedules.cyclical_lr(period=cfg.clr_period,
@@ -527,12 +538,14 @@ class Trainer:
                            val_rmse=val_m["rmse"])
                 if val_mae < best_val:
                     best_val = val_mae
-                    ckpt.save(state, self, epoch=epoch, val_mae=val_mae,
-                              best_val=best_val)
+                    if ckpt is not None:
+                        ckpt.save(state, self, epoch=epoch, val_mae=val_mae,
+                                  best_val=best_val)
                 # always refresh "last" for crash-safe resume (the reference
                 # only saved top-1; resume needed an explicit --ckp path)
-                ckpt.save(state, self, epoch=epoch,
-                          val_mae=val_mae, tag="last", best_val=best_val)
+                if ckpt is not None:
+                    ckpt.save(state, self, epoch=epoch,
+                              val_mae=val_mae, tag="last", best_val=best_val)
         self.last_log_dir = log_dir
         return state
 
@@ -566,7 +579,9 @@ class Trainer:
                                 node_bucket=cfg.node_bucket,
                                 num_comp_slots=cfg.num_comp_slots,
                                 drop_last=False,
-                                edge_shards=cfg.edge_shards)
+                                edge_shards=cfg.edge_shards,
+                                process_index=jax.process_index(),
+                                process_count=jax.process_count())
         tot = None
         for batch in loader:
             m = peval(params, batch)
@@ -617,14 +632,24 @@ class CheckpointManager:
              best_val: float | None = None):
         import orbax.checkpoint as ocp
         path = os.path.join(self.dir, tag)
+
+        def to_host(x):
+            # multi-process: replicated global arrays are not fully
+            # addressable; snapshot the local copy so rank 0 can write alone
+            if isinstance(x, jax.Array) and not x.is_fully_addressable:
+                return np.asarray(x.addressable_shards[0].data)
+            return x
+
         with ocp.PyTreeCheckpointer() as ckptr:
             # full training state: params + optimizer moments + step, so a
             # resumed run reproduces the uninterrupted one (the reference's
             # resume_from_checkpoint restored optimizer + schedule,
             # train.py:64-76)
-            ckptr.save(path, {"params": state.params,
-                              "step": state.step,
-                              "opt_state": state.opt_state}, force=True)
+            ckptr.save(path, jax.tree.map(to_host,
+                                          {"params": state.params,
+                                           "step": state.step,
+                                           "opt_state": state.opt_state}),
+                       force=True)
         plateau = getattr(trainer, "_plateau", None)
         meta = {
             "epoch": epoch, "val_mae": float(val_mae),
