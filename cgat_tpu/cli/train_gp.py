@@ -24,6 +24,11 @@ def main(argv=None):
     p.add_argument("--learning-rate", type=float, default=1e-2)
     p.add_argument("--zero-mean", action="store_true",
                    help="ZeroMean instead of ConstantMean")
+    p.add_argument("--on-the-fly", action="store_true", dest="on_the_fly",
+                   help="embed each batch through the frozen CGAT inside "
+                        "the GP step instead of precomputing all embeddings "
+                        "(reference on-the-fly mode, "
+                        "gaussian_process.py:241-296; use for huge pools)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out", default="gp_model.pickle.gz")
     args = p.parse_args(argv)

@@ -5,6 +5,7 @@ from .gp import (
     elbo,
     embedding_dataset,
     fit_gp,
+    fit_gp_streaming,
     gp_predict_f,
     gp_predict_y,
     init_gp,
@@ -19,6 +20,7 @@ __all__ = [
     "elbo",
     "embedding_dataset",
     "fit_gp",
+    "fit_gp_streaming",
     "gp_predict_f",
     "gp_predict_y",
     "init_gp",

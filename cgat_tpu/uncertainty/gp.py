@@ -180,6 +180,71 @@ def fit_gp(embeddings: np.ndarray, targets_norm: np.ndarray, *,
     return params, history
 
 
+def fit_gp_streaming(model, cgat_params, graphs, *, mean: float, std: float,
+                     num_inducing: int = 500, epochs: int = 100,
+                     batch_size: int = 512, learning_rate: float = 1e-2,
+                     seed: int = 0, cfg: GPConfig = GPConfig(),
+                     max_nbr: int = 24, node_bucket: int = 64,
+                     num_comp_slots=None, verbose: bool = True):
+    """On-the-fly SVGP training: the frozen CGAT embeds every graph batch
+    INSIDE the jitted GP step (reference gaussian_process.py:241-296), so a
+    2.8M-entry pool never materialises a full (N, embedding_dim) matrix —
+    each step is one dispatch: embed (stop-gradient) -> masked ELBO -> Adam.
+
+    Inducing points are the embeddings of one random ``num_inducing``-graph
+    batch (gaussian_process.py:213-222); padded graph slots are excluded via
+    the batch mask, so metrics are exact regardless of batch shape."""
+    from ..data.dataset import GraphLoader
+
+    rng = np.random.default_rng(seed)
+    n = len(graphs)
+    sel = rng.permutation(n)[: min(num_inducing, n)]
+    embed = jax.jit(lambda p, b: model.apply(
+        {"params": p}, b, return_graph_embedding=True))
+    ind_loader = GraphLoader([graphs[i] for i in sel], len(sel),
+                             shuffle=False, max_nbr=max_nbr,
+                             node_bucket=node_bucket,
+                             num_comp_slots=num_comp_slots)
+    ind_loader.drop_last = False
+    inducing = np.concatenate(
+        [np.asarray(embed(cgat_params, b))[np.asarray(b.graph_mask)]
+         for b in ind_loader])
+    params = init_gp(inducing, cfg)
+    tx = optax.adam(learning_rate)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(gp, opt_state, backbone, batch):
+        emb = jax.lax.stop_gradient(model.apply(
+            {"params": backbone}, batch, return_graph_embedding=True))
+        y = (batch.target - mean) / std
+
+        def loss_fn(p):
+            return -elbo(p, emb, y, n, cfg, mask=batch.graph_mask)
+
+        loss, grads = jax.value_and_grad(loss_fn)(gp)
+        grads = _freeze_mean_if_zero(grads, cfg)
+        updates, opt_state2 = tx.update(grads, opt_state, gp)
+        return optax.apply_updates(gp, updates), opt_state2, loss
+
+    loader = GraphLoader(graphs, min(batch_size, n), shuffle=True, seed=seed,
+                         max_nbr=max_nbr, node_bucket=node_bucket,
+                         num_comp_slots=num_comp_slots)
+    history = []
+    for epoch in range(epochs):
+        loader.set_epoch(epoch)
+        losses_e = []
+        for batch in loader:
+            params, opt_state, loss = step(params, opt_state, cgat_params,
+                                           batch)
+            losses_e.append(loss)
+        # single stack + read per epoch (axon D2H reads are ~an RTT each)
+        history.append(float(jnp.mean(jnp.stack(losses_e))))
+        if verbose and (epoch % max(1, epochs // 10) == 0):
+            print(f"gp epoch {epoch}: -elbo {history[-1]:.4f}")
+    return params, history
+
+
 # ------------------------------------------------------------------ pipeline
 
 def embedding_dataset(data, target: str = "e_above_hull_new"):
@@ -205,26 +270,44 @@ def train_gp_from_checkpoint(args):
     from ..training.trainer import load_trainer
 
     trainer, params, _ = load_trainer(args.cgat_model, train=False)
+    on_the_fly = bool(getattr(args, "on_the_fly", False))
+    graphs = None
     if args.embedding_path:
         x, y = embedding_dataset(args.embedding_path, trainer.cfg.target)
+        on_the_fly = False  # embeddings already materialised
+        n = len(x)
     else:
         data_path = args.data_path or trainer.cfg.data_path
         graphs = load_dataset_dir(data_path, fea_path=trainer.cfg.fea_path,
                                   max_neighbor_number=trainer.cfg.max_nbr,
                                   target=trainer.cfg.target)
-        x = trainer.embeddings(params, graphs)
         y = np.asarray([g.target for g in graphs], np.float32)
+        n = len(graphs)
+        x = None if on_the_fly else trainer.embeddings(params, graphs)
 
-    tr, va, te = split_dataset(len(x), seed=args.seed)
+    tr, va, te = split_dataset(n, seed=args.seed)
     mean = float(np.mean(y[tr]))
     std = float(np.std(y[tr], ddof=1)) if len(tr) > 1 else 1.0
     cfg = GPConfig(zero_mean=args.zero_mean)
-    gp_params, history = fit_gp(
-        x[tr], (y[tr] - mean) / std, num_inducing=args.inducing_points,
-        epochs=args.epochs, batch_size=args.batch_size,
-        learning_rate=args.learning_rate, seed=args.seed, cfg=cfg)
+    if on_the_fly:
+        # streaming: embed each batch inside the GP step; only the small
+        # val split is ever materialised as an embedding matrix
+        gp_params, history = fit_gp_streaming(
+            trainer.model, params, [graphs[i] for i in tr],
+            mean=mean, std=std, num_inducing=args.inducing_points,
+            epochs=args.epochs, batch_size=args.batch_size,
+            learning_rate=args.learning_rate, seed=args.seed, cfg=cfg,
+            max_nbr=trainer.cfg.max_nbr, node_bucket=trainer.cfg.node_bucket,
+            num_comp_slots=trainer.cfg.num_comp_slots)
+        x_va = trainer.embeddings(params, [graphs[i] for i in va])
+    else:
+        gp_params, history = fit_gp(
+            x[tr], (y[tr] - mean) / std, num_inducing=args.inducing_points,
+            epochs=args.epochs, batch_size=args.batch_size,
+            learning_rate=args.learning_rate, seed=args.seed, cfg=cfg)
+        x_va = x[va]
 
-    mu, var = gp_predict_f(gp_params, jnp.asarray(x[va], jnp.float32), cfg)
+    mu, var = gp_predict_f(gp_params, jnp.asarray(x_va, jnp.float32), cfg)
     pred = np.asarray(mu) * std + mean
     val_mae = float(np.mean(np.abs(pred - y[va]))) if len(va) else float("nan")
     print(f"gp val mae: {val_mae:.4f}")

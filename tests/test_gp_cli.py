@@ -42,6 +42,19 @@ def test_train_gp_from_checkpoint(tmp_path, monkeypatch):
     assert np.isfinite(saved["val_mae"])
     assert saved["params"].inducing.shape[1] == CGATConfig(**TINY).embedding_dim
 
+    # streaming mode: embeddings computed inside the GP step (reference
+    # on-the-fly training, gaussian_process.py:241-296)
+    out_fly = tmp_path / "gp_fly.pickle.gz"
+    rc = cli_gp.main(["--cgat-model", run_dir, "--inducing-points", "8",
+                      "--epochs", "2", "--batch-size", "8",
+                      "--on-the-fly", "--out", str(out_fly)])
+    assert rc == 0
+    with gzip.open(out_fly, "rb") as f:
+        saved_fly = pickle.load(f)
+    assert np.isfinite(saved_fly["val_mae"])
+    assert (saved_fly["params"].inducing.shape[1]
+            == CGATConfig(**TINY).embedding_dim)
+
     # gp_predict csv flow on an embedding-format dataset
     from cgat_tpu.tools.analysis import gp_predict_csv
     from cgat_tpu.training.trainer import load_trainer
