@@ -113,7 +113,9 @@ def collate(graphs: Sequence[CrystalGraph],
             node_bucket: int = 64,
             orig_fea: int | None = None,
             edge_shards: int = 1,
-            edge_slots_per_shard: int | None = None) -> CrystalBatch:
+            edge_slots_per_shard: int | None = None,
+            num_edge_slots: int | None = None,
+            max_degree: int | None = None) -> CrystalBatch:
     """Build a static-shape :class:`CrystalBatch` from host graphs.
 
     Mirrors the index-offsetting of the reference collate fns
@@ -130,11 +132,24 @@ def collate(graphs: Sequence[CrystalGraph],
     C = num_graphs if num_graphs is not None else len(graphs)
     assert len(graphs) <= C, "more graphs than slots"
     n_real_nodes = sum(g.n_atoms for g in graphs)
+    n_real_edges = sum(len(g.edge_src) for g in graphs)
     N = num_node_slots if num_node_slots is not None else pad_to_bucket(
         n_real_nodes, node_bucket * edge_shards)
     assert n_real_nodes <= N
     assert N % edge_shards == 0, (N, edge_shards)
-    E = N * max_nbr
+    # edge-slot sizing (per-edge matmuls dominate the step, so slack here is
+    # the biggest padding-waste lever): explicit ``num_edge_slots`` > stable
+    # family ``N * max_degree`` (loaders pass the dataset's real max degree;
+    # == max_nbr on featurizer output, smaller on sparse graphs) > tight
+    # per-batch bucket. Never above N * max_nbr (a graph has <= max_nbr
+    # edges per atom after featurizer truncation).
+    if num_edge_slots is not None:
+        E = num_edge_slots
+    elif max_degree is not None:
+        E = N * min(max_degree, max_nbr)
+    else:
+        E = min(N * max_nbr, pad_to_bucket(n_real_edges, 8 * max_nbr))
+    assert n_real_edges <= E, (n_real_edges, E)
     R = num_comp_slots if num_comp_slots is not None else max(
         (g.comp_fea.shape[0] for g in graphs), default=1)
     F = orig_fea if orig_fea is not None else (

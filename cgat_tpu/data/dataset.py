@@ -180,6 +180,12 @@ class GraphLoader:
             (g.comp_fea.shape[0] for g in self.graphs), default=1)
         self.num_node_slots = num_node_slots
         self.drop_last = drop_last
+        # dataset-wide max edges-per-atom: keeps the edge axis a stable
+        # function of the node axis (one shape family -> few compiles) while
+        # shedding the padding waste when real degree < max_nbr
+        self.max_degree = min(max_nbr, max(
+            (-(-len(g.edge_src) // max(g.n_atoms, 1)) for g in self.graphs),
+            default=max_nbr))
 
     def __len__(self):
         if self.drop_last:
@@ -214,4 +220,5 @@ class GraphLoader:
                           node_bucket=self.node_bucket,
                           num_graphs=self.batch_size,
                           num_comp_slots=self.num_comp_slots,
-                          num_node_slots=self.num_node_slots)
+                          num_node_slots=self.num_node_slots,
+                          max_degree=self.max_degree)

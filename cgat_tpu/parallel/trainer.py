@@ -234,6 +234,8 @@ class ParallelLoader:
                                num_graphs=bs,
                                num_comp_slots=inner.num_comp_slots,
                                num_node_slots=n_max, orig_fea=fea,
-                               edge_shards=S, edge_slots_per_shard=cap)
+                               edge_shards=S, edge_slots_per_shard=cap,
+                               max_degree=(inner.max_degree
+                                           if S == 1 else None))
                        for c in local]
             yield stack_batches(batches)

@@ -169,3 +169,37 @@ def test_allow_incomplete_ragged_featurisation():
     g = gs[0]
     assert 0 < len(g.edge_src) < 2 * 6   # fewer than max_nbr per atom
     assert np.all(g.edge_shell >= 1)
+
+
+def test_edge_slot_sizing_and_invariance():
+    """Edge slots size to real edges (biggest padding-waste lever), never to
+    N*max_nbr on sparse graphs — and the model output is invariant to the
+    edge-slot count."""
+    import jax
+    from cgat_tpu.data.batching import collate
+    from cgat_tpu.data.dataset import GraphLoader
+    from cgat_tpu.data.synthetic import random_graphs
+    from cgat_tpu.models import CGATConfig, CGAtNet
+
+    graphs = random_graphs(0, 6, n_atoms_range=(4, 8), max_nbr=24,
+                           orig_fea=16)  # real degree <= 7 << 24
+    tight = collate(graphs, max_nbr=24, node_bucket=8)
+    full = collate(graphs, max_nbr=24, node_bucket=8,
+                   num_edge_slots=tight.num_node_slots * 24)
+    e_real = sum(len(g.edge_src) for g in graphs)
+    assert tight.num_edge_slots < full.num_edge_slots
+    assert e_real <= tight.num_edge_slots <= e_real + 8 * 24
+    # loader path: E = N * dataset max degree, one shape family
+    loader = GraphLoader(graphs, 3, max_nbr=24, node_bucket=8)
+    assert loader.max_degree <= 7
+    for b in loader:
+        assert b.num_edge_slots == b.num_node_slots * loader.max_degree
+
+    cfg = CGATConfig(orig_elem_fea_len=16, elem_fea_len=8, n_graph=2,
+                     nbr_embedding_size=8, neighbor_number=24, msg_heads=2,
+                     n_graph_roost=1, out_hidden=(8,))
+    model = CGAtNet(cfg)
+    params = model.init(jax.random.key(0), tight)["params"]
+    out_t = np.asarray(model.apply({"params": params}, tight))
+    out_f = np.asarray(model.apply({"params": params}, full))
+    np.testing.assert_allclose(out_t, out_f, rtol=1e-5, atol=1e-6)

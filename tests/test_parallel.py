@@ -91,7 +91,7 @@ def test_edge_sharding_preserves_forward():
     cfg, graphs, model, params = setup()
     mesh = make_mesh(dp=2, edge=4)
     batches = [collate(graphs[i * 4:(i + 1) * 4], max_nbr=4, node_bucket=8,
-                       num_node_slots=32, num_comp_slots=8)
+                       num_node_slots=32, num_comp_slots=8, max_degree=4)
                for i in range(2)]
     stacked = stack_batches(batches)
     want = np.stack([
