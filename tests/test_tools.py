@@ -265,3 +265,40 @@ def test_active_learning_round_orchestrator(tmp_path):
     remaining = sum(len(shards.load_pickle(p)["batch_ids"])
                     for _, p in shards.iter_shards(al_pool))
     assert remaining == 8  # 20 - 8 initial - 4 absorbed
+
+
+def test_element_correlation_cli(tmp_path):
+    from cgat_tpu.tools import element_correlation as ec_cli
+    pool = str(tmp_path / "pool")
+    os.makedirs(pool)
+    for i in range(2):
+        shards.save_pickle(make_prepared(15, id_offset=i * 15, seed=i),
+                           shards.shard_path(i, pool))
+    out = tmp_path / "corr.npz"
+    rc = ec_cli.main(["--pool-dir", pool, "--out", str(out), "--top", "3"])
+    assert rc == 0
+    corr = np.load(out)["correlation"]
+    assert corr.ndim == 2 and corr.shape[0] == corr.shape[1]
+    assert np.all(np.diag(corr) == 0)
+
+
+def test_tsne_cli(tmp_path):
+    import gzip
+    import pickle
+    from cgat_tpu.tools import tsne as tsne_cli
+    rng = np.random.default_rng(0)
+    data = {"input": rng.standard_normal((30, 8)).astype(np.float32),
+            "batch_ids": [[f"{i},1"] for i in range(30)],
+            "batch_comp": np.asarray(["x"] * 30, dtype=object),
+            "target": {"e_above_hull": rng.standard_normal(30)},
+            "comps": np.asarray(["x"] * 30, dtype=object)}
+    path = tmp_path / "emb.pickle.gz"
+    with gzip.open(path, "wb") as f:
+        pickle.dump(data, f)
+    out = tmp_path / "tsne.csv"
+    rc = tsne_cli.main([str(path), "--target", "e_above_hull",
+                        "--perplexity", "5", "--out", str(out)])
+    assert rc == 0
+    rows = open(out).read().strip().splitlines()
+    assert len(rows) == 31  # header + 30 points
+    assert rows[0].startswith("x,y,target")
