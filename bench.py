@@ -91,7 +91,8 @@ def analytic_forward_flops(cfg, n_nodes: int, n_edge_slots: int,
     return total
 
 
-def build(batch_size: int = 64, compute_dtype: str = "bfloat16"):
+def build(batch_size: int = 64, compute_dtype: str = "bfloat16",
+          full_degree: bool = False):
     from cgat_tpu.ops import attention as _att
     if jax.default_backend() == "tpu":
         _att.set_backend("pallas")  # 2.1x the XLA step (honest measurement)
@@ -102,8 +103,11 @@ def build(batch_size: int = 64, compute_dtype: str = "bfloat16"):
     from cgat_tpu.training.trainer import TrainState, make_train_step
 
     cfg = CGATConfig(compute_dtype=compute_dtype)
-    # realistic training batch: ~12 atoms per crystal (dcgat-like)
-    graphs = random_graphs(0, batch_size, n_atoms_range=(8, 16), max_nbr=24)
+    # realistic training batch: ~12 atoms per crystal (dcgat-like);
+    # full_degree reproduces real featurizer density (exactly 24 periodic
+    # neighbors per atom)
+    graphs = random_graphs(0, batch_size, n_atoms_range=(8, 16), max_nbr=24,
+                           full_degree=full_degree)
     batch = collate(graphs, max_nbr=24, node_bucket=64)
     n_real_edges = int(np.asarray(jnp.sum(batch.edge_mask)))
     fwd_flops = analytic_forward_flops(
@@ -125,8 +129,9 @@ def build(batch_size: int = 64, compute_dtype: str = "bfloat16"):
 
 
 def measure(batch_size: int, compute_dtype: str = "bfloat16",
-            n_iters: int = 20, trials: int = 3):
-    step, state, batch, n_edges, fwd_flops = build(batch_size, compute_dtype)
+            n_iters: int = 20, trials: int = 3, full_degree: bool = False):
+    step, state, batch, n_edges, fwd_flops = build(batch_size, compute_dtype,
+                                                   full_degree)
     state, m = step(state, batch)
     _ = float(m["loss"])  # compile + sync
     best = float("inf")
@@ -161,6 +166,9 @@ def main():
             ("edges_per_sec_f32", dict(batch_size=64, compute_dtype="float32",
                                        n_iters=10, trials=2)),
             ("edges_per_sec_b128", dict(batch_size=128, n_iters=10, trials=2)),
+            # real-data density: exactly 24 periodic neighbors per atom
+            ("edges_per_sec_dense", dict(batch_size=64, full_degree=True,
+                                         n_iters=10, trials=2)),
     ):
         try:
             extras[key] = round(measure(**kwargs)["edges_per_sec"], 1)

@@ -14,11 +14,20 @@ from .batching import CrystalGraph
 
 def random_graph(rng: np.random.Generator, *, n_atoms: int, max_nbr: int = 24,
                  orig_fea: int = 200, n_species: int = 8,
-                 target_scale: float = 1.0) -> CrystalGraph:
+                 target_scale: float = 1.0,
+                 full_degree: bool = False) -> CrystalGraph:
     """One random crystal graph. Species features are random but consistent
     within the graph (same species -> same feature row), matching how real
-    element embeddings behave."""
-    k = min(max_nbr, max(1, n_atoms - 1)) if n_atoms > 1 else 1
+    element embeddings behave.
+
+    ``full_degree=True`` gives every atom exactly ``max_nbr`` neighbors by
+    sampling WITH replacement — the density of real featurizer output, where
+    periodic images make the same neighbor atom appear at several shells
+    (prepare_data.py:146-169 keeps the 24 nearest periodic neighbors)."""
+    if full_degree and n_atoms > 1:
+        k = max_nbr
+    else:
+        k = min(max_nbr, max(1, n_atoms - 1)) if n_atoms > 1 else 1
     species = rng.integers(0, n_species, size=n_atoms)
     species_fea = rng.standard_normal((n_species, orig_fea)).astype(np.float32)
     atom_fea = species_fea[species]
@@ -54,11 +63,13 @@ def random_graph(rng: np.random.Generator, *, n_atoms: int, max_nbr: int = 24,
 
 
 def random_graphs(seed: int, n_graphs: int, *, n_atoms_range=(4, 10),
-                  max_nbr: int = 24, orig_fea: int = 200):
+                  max_nbr: int = 24, orig_fea: int = 200,
+                  full_degree: bool = False):
     rng = np.random.default_rng(seed)
     return [
         random_graph(rng, n_atoms=int(rng.integers(*n_atoms_range)),
-                     max_nbr=max_nbr, orig_fea=orig_fea)
+                     max_nbr=max_nbr, orig_fea=orig_fea,
+                     full_degree=full_degree)
         for _ in range(n_graphs)
     ]
 
