@@ -25,8 +25,9 @@ Design (see /opt/skills/guides/pallas_guide.md):
   of 8; a ``(BE, 1)`` slice is not expressible).
 * Custom VJP: the backward is embarrassingly parallel over edge blocks —
   d_alpha_e = p_e * g_n * (m_e - out_n), d_m_e = p_e * g_n — needing only the
-  saved per-node shift/denominator/output gathered through the same one-hot
-  matmul trick (exact for any shift as long as the denominator used it too).
+  saved per-node shift, cotangent/denominator (folded into one array) and
+  output gathered through the same one-hot matmul trick (exact for any shift
+  as long as the denominator used it too).
 """
 from __future__ import annotations
 
@@ -122,8 +123,8 @@ def _bwd_kernel(meta_ref, dstb_ref, alpha_ref, m_ref, nodecat_hbm,
     n0 = pl.multiple_of(meta_ref[j], 8)
     n_real = meta_ref[pl.num_programs(0)]
 
-    # one DMA + one gather matmul for all four per-node arrays
-    # [g | max | den | out] concatenated on the feature axis
+    # one DMA + one gather matmul for all three per-node arrays
+    # [g/(den+eps) | max | out] concatenated on the feature axis
     cp = pltpu.make_async_copy(nodecat_hbm.at[pl.ds(n0, span), :],
                                nodecat_s, sems.at[0])
     cp.start()
@@ -138,14 +139,13 @@ def _bwd_kernel(meta_ref, dstb_ref, alpha_ref, m_ref, nodecat_hbm,
     cat_e = jax.lax.dot_general(
         sel, nodecat_s[:], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST)                  # (BE, 4*HF)
-    g_e = cat_e[:, 0 * hf:1 * hf]
+        precision=jax.lax.Precision.HIGHEST)                  # (BE, 3*HF)
+    q_e = cat_e[:, 0 * hf:1 * hf]      # g / (den + eps), folded host-side
     max_e = cat_e[:, 1 * hf:2 * hf]
-    den_e = cat_e[:, 2 * hf:3 * hf]
-    out_e = cat_e[:, 3 * hf:4 * hf]
+    out_e = cat_e[:, 2 * hf:3 * hf]
     onseg = jnp.max(sel, axis=1, keepdims=True)               # (BE, 1)
-    p = jnp.exp(alpha_ref[:].astype(jnp.float32) - max_e) / (den_e + EPS) * onseg
-    pg = p * g_e
+    # p * g = exp(a - max)/(den+eps) * g = exp(a - max) * q
+    pg = jnp.exp(alpha_ref[:].astype(jnp.float32) - max_e) * q_e * onseg
     dm_ref[:] = pg.astype(dm_ref.dtype)
     dalpha_ref[:] = (pg * (m_ref[:].astype(jnp.float32) - out_e)
                      ).astype(dalpha_ref.dtype)
@@ -231,7 +231,11 @@ def _vjp_bwd(num_nodes, bn, be, interpret, res, g):
     meta = meta.at[-1].set(n_real)
     dstb = _broadcast_dst(dst2)
 
-    nodecat = jnp.concatenate([g, maxv, den, out], axis=1)    # (N, 4*HF)
+    # fold the cotangent and the softmax denominator into one term: the
+    # gather DMA and one-hot matmul shrink from 4*HF to 3*HF wide with no
+    # precision loss (one exact-ish divide; no extra log/exp rounding)
+    q = g / (den + EPS)                                       # (N, HF)
+    nodecat = jnp.concatenate([q, maxv, out], axis=1)         # (N, 3*HF)
     nodecat = jnp.pad(nodecat, ((0, span), (0, 0)))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -253,7 +257,7 @@ def _vjp_bwd(num_nodes, bn, be, interpret, res, g):
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((span, 4 * hf), jnp.float32),
+            pltpu.VMEM((span, 3 * hf), jnp.float32),
             pltpu.SemaphoreType.DMA((1,)),
         ],
     )
