@@ -96,6 +96,9 @@ def add_trainer_args(p: argparse.ArgumentParser):
     p.add_argument("--acc_batches", "--acc-batches", type=int, default=1)
     p.add_argument("--steps-per-dispatch", type=int, default=1,
                    help="fuse K train steps into one device dispatch")
+    p.add_argument("--streaming", action="store_true",
+                   help="stream training shards from disk one at a time "
+                        "(out-of-core; requires --val-path)")
     p.add_argument("--ckp", type=str, default="",
                    help="checkpoint run dir to resume from")
     p.add_argument("--pretrained-model", type=str, default=None,
@@ -124,6 +127,7 @@ def configs_from_args(args) -> tuple[TrainerConfig, CGATConfig]:
         version=args.version,
         profile_epoch=args.profile_epoch,
         steps_per_dispatch=getattr(args, "steps_per_dispatch", 1),
+        streaming=getattr(args, "streaming", False),
     )
     mcfg = CGATConfig(
         orig_elem_fea_len=200, elem_fea_len=args.atom_fea_len,

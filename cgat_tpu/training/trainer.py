@@ -55,6 +55,11 @@ class TrainerConfig:
     train_percentage: float = 0.0
     val_path: str | None = None
     test_path: str | None = None
+    # out-of-core training: stream data_path's shards one at a time instead
+    # of holding the dataset in host memory (the reference pool is 283x10k
+    # shards, Utilities/calculate_errors.py:71); requires val_path/test_path
+    # for the in-memory eval splits
+    streaming: bool = False
     # optimisation
     batch_size: int = 64
     epochs: int = 390
@@ -334,7 +339,9 @@ class Trainer:
             backend = "pallas" if jax.default_backend() == "tpu" else "xla"
         _att.set_backend(backend)
 
-        if graphs is not None:
+        if cfg.streaming:
+            self._setup_streaming()
+        elif graphs is not None:
             self._setup_data(graphs)
         elif mean is not None:
             self.mean, self.std = float(mean), float(std)
@@ -345,6 +352,50 @@ class Trainer:
                 cfg.data_path, fea_path=cfg.fea_path,
                 max_neighbor_number=cfg.max_nbr, target=cfg.target)
             self._setup_data(all_graphs)
+
+    def _setup_streaming(self):
+        """Out-of-core setup: one cached metadata scan supplies the
+        normalisation stats and static-shape bounds; train shards stay on
+        disk, val/test splits load in memory from their own paths."""
+        cfg = self.cfg
+        from ..data.dataset import load_dataset_dir
+        from ..data.streaming import scan_shard_metadata
+        if cfg.val_path is None:
+            raise ValueError("streaming=True requires --val-path (the "
+                             "training shards are never all in memory, so "
+                             "index-based splits cannot apply)")
+        self._stream_meta = scan_shard_metadata(
+            cfg.data_path, target=cfg.target, fea_path=cfg.fea_path,
+            max_nbr=cfg.max_nbr)
+        self.mean = self._stream_meta["mean"]
+        self.std = self._stream_meta["std"]
+        print(f"mean: {self.mean} std: {self.std} "
+              f"({self._stream_meta['n_graphs']} streamed graphs)")
+        self.train_graphs = []
+        self.val_graphs = load_dataset_dir(
+            cfg.val_path, fea_path=cfg.fea_path,
+            max_neighbor_number=cfg.max_nbr, target=cfg.target)
+        self.test_graphs = load_dataset_dir(
+            cfg.test_path, fea_path=cfg.fea_path,
+            max_neighbor_number=cfg.max_nbr,
+            target=cfg.target) if cfg.test_path else []
+        if cfg.num_comp_slots is None:
+            # pin the composition axis dataset-wide (streamed + eval splits)
+            self.cfg = dataclasses.replace(cfg, num_comp_slots=max(
+                self._stream_meta["num_comp_slots"],
+                max((g.comp_fea.shape[0]
+                     for g in self.val_graphs + self.test_graphs), default=1)))
+
+    def _streaming_loader(self):
+        cfg = self.cfg
+        from ..data.streaming import StreamingGraphLoader
+        return StreamingGraphLoader(
+            cfg.data_path, cfg.batch_size, target=cfg.target,
+            fea_path=cfg.fea_path, shuffle=True, seed=cfg.seed,
+            max_nbr=cfg.max_nbr, node_bucket=cfg.node_bucket,
+            meta=self._stream_meta,
+            process_index=jax.process_index(),
+            process_count=jax.process_count())
 
     def _setup_data(self, graphs):
         cfg = self.cfg
@@ -424,6 +475,10 @@ class Trainer:
 
         n_dev = cfg.n_devices if cfg.n_devices > 0 else len(jax.devices())
         parallel = n_dev > 1 or cfg.edge_shards > 1
+        if cfg.streaming and (parallel or cfg.steps_per_dispatch > 1):
+            raise NotImplementedError(
+                "streaming training currently drives the single-device "
+                "step; stack it with dp/edge sharding in a later round")
         peval = None
         if parallel:
             # multi-chip path: dp x edge mesh, stacked per-replica batches,
@@ -471,7 +526,8 @@ class Trainer:
                                          self.mean, self.std,
                                          dropout=self.model_cfg.dropout > 0,
                                          seed=cfg.seed)
-            train_loader = self._loader(self.train_graphs, shuffle=True)
+            train_loader = (self._streaming_loader() if cfg.streaming
+                            else self._loader(self.train_graphs, shuffle=True))
         eval_step = make_eval_step(self.model, self.criterion,
                                    self.mean, self.std)
         run_name = cfg.run_name or f"f-{cfg.seed}_t-{time.strftime('%Y-%m-%d_%H-%M-%S')}"
