@@ -723,7 +723,7 @@ class CheckpointManager:
         d = ckpt_dir
         if os.path.isdir(os.path.join(d, "checkpoints")):
             d = os.path.join(d, "checkpoints")
-        return d
+        return os.path.abspath(d)  # orbax rejects relative restore paths
 
     @staticmethod
     def load(ckpt_dir: str, tag: str = "best"):
