@@ -11,9 +11,12 @@ Design (see /opt/skills/guides/pallas_guide.md):
   cgat_tpu/data/batching.py), so each node's edges form one contiguous run.
   A CSR-style offsets array (one entry per node block) is scalar-prefetched.
 * Grid over blocks of BN=128 destination nodes. Edge chunks are DMA'd
-  HBM->VMEM on demand; scatter within a chunk becomes a *one-hot membership
-  matmul* on the MXU ((BN, BE) @ (BE, HF)) — TPU has no vector scatter, but
-  the systolic array eats one-hot contractions.
+  HBM->VMEM double-buffered (chunk c+1 fills one slot while chunk c
+  computes from the other); scatter within a chunk becomes a *one-hot
+  membership matmul* on the MXU ((BN, BE) @ (BE, HF)) — TPU has no vector
+  scatter, but the systolic array eats one-hot contractions. BE=768 is the
+  largest chunk whose two slots fit VMEM alongside the accumulators, and
+  measured fastest at real-data edge density.
 * Numerical stabilisation is flash-attention style: a per-column running max
   over the node block's edges rescales the exp-sum and weighted-sum
   accumulators chunk by chunk. Softmax is shift-invariant, so any per-node
@@ -42,7 +45,7 @@ NEG_BIG = -1e30
 EPS = 1e-16  # torch_geometric.utils.softmax denominator epsilon
 
 BLOCK_NODES = 128   # destination nodes per grid step (lane width)
-BLOCK_EDGES = 1024  # edges per DMA chunk
+BLOCK_EDGES = 768   # edges per DMA chunk (x2 slots must fit VMEM)
 
 # module-level default for the interpret flag (tests set True to run the
 # kernels through the Pallas interpreter on CPU)
@@ -70,23 +73,41 @@ def _fwd_kernel(off_ref, alpha_hbm, m_hbm, dstb_hbm,
     col_ids = jax.lax.broadcasted_iota(jnp.int32, (be, bn), 1)
     edge_ids = jax.lax.broadcasted_iota(jnp.int32, (be, 1), 0)
 
-    def body(c, _):
+    # double-buffered chunk DMA: slot c%2 computes while slot (c+1)%2 fills
+    def chunk_dma(slot, c):
         base = pl.multiple_of(start_al + c * be, 8)
-        cp_a = pltpu.make_async_copy(alpha_hbm.at[pl.ds(base, be), :], a_s,
-                                     sems.at[0])
-        cp_m = pltpu.make_async_copy(m_hbm.at[pl.ds(base, be), :], m_s,
-                                     sems.at[1])
-        cp_d = pltpu.make_async_copy(dstb_hbm.at[pl.ds(base, be), :], d_s,
-                                     sems.at[2])
-        cp_a.start(); cp_m.start(); cp_d.start()
-        cp_a.wait(); cp_m.wait(); cp_d.wait()
+        return (
+            pltpu.make_async_copy(alpha_hbm.at[pl.ds(base, be), :],
+                                  a_s.at[slot], sems.at[slot, 0]),
+            pltpu.make_async_copy(m_hbm.at[pl.ds(base, be), :],
+                                  m_s.at[slot], sems.at[slot, 1]),
+            pltpu.make_async_copy(dstb_hbm.at[pl.ds(base, be), :],
+                                  d_s.at[slot], sems.at[slot, 2]),
+        )
 
+    @pl.when(nchunks > 0)
+    def _():
+        for cp in chunk_dma(0, 0):
+            cp.start()
+
+    def body(c, _):
+        slot = jax.lax.rem(c, 2)
+
+        @pl.when(c + 1 < nchunks)
+        def _():
+            for cp in chunk_dma(1 - slot, c + 1):
+                cp.start()
+
+        for cp in chunk_dma(slot, c):
+            cp.wait()
+
+        base = pl.multiple_of(start_al + c * be, 8)
         valid = (base + edge_ids) < end                       # (BE, 1)
         validf = valid.astype(jnp.float32)
-        local = jnp.min(d_s[:], axis=1, keepdims=True) - node0  # (BE, 1)
+        local = jnp.min(d_s[slot], axis=1, keepdims=True) - node0  # (BE, 1)
         sel = jnp.where((local == col_ids) & valid, 1.0, 0.0)  # (BE, BN)
 
-        a = a_s[:].astype(jnp.float32)
+        a = a_s[slot].astype(jnp.float32)
         chunk_max = jnp.max(jnp.where(valid, a, NEG_BIG), axis=0,
                             keepdims=True)                    # (1, HF)
         old = run_max[0:1, :]
@@ -99,7 +120,7 @@ def _fwd_kernel(off_ref, alpha_hbm, m_hbm, dstb_hbm,
         e = jnp.exp(a - new) * validf                         # (BE, HF)
         # one fused one-hot contraction for both sums: sel @ [e | e*m]
         cat = jnp.concatenate(
-            [e, e * m_s[:].astype(jnp.float32)], axis=1)      # (BE, 2*HF)
+            [e, e * m_s[slot].astype(jnp.float32)], axis=1)   # (BE, 2*HF)
         acc = jax.lax.dot_general(
             sel, cat, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -188,13 +209,13 @@ def _fwd_impl(alpha2, m2, dst2, n_real, num_nodes, bn, be, interpret):
         out_specs=[pl.BlockSpec((bn, hf), lambda i, off: (i, 0),
                                 memory_space=pltpu.VMEM)] * 3,
         scratch_shapes=[
-            pltpu.VMEM((be, hf), alpha2.dtype),
-            pltpu.VMEM((be, hf), m2.dtype),
-            pltpu.VMEM((be, 128), jnp.int32),
+            pltpu.VMEM((2, be, hf), alpha2.dtype),
+            pltpu.VMEM((2, be, hf), m2.dtype),
+            pltpu.VMEM((2, be, 128), jnp.int32),
             pltpu.VMEM((bn, hf), jnp.float32),
             pltpu.VMEM((bn, hf), jnp.float32),
             pltpu.VMEM((8, hf), jnp.float32),
-            pltpu.SemaphoreType.DMA((3,)),
+            pltpu.SemaphoreType.DMA((2, 3)),
         ],
     )
     kernel = functools.partial(_fwd_kernel, bn=bn, be=be, hf=hf)
