@@ -140,16 +140,32 @@ def _bwd_kernel(meta_ref, dstb_ref, alpha_ref, m_ref, nodecat_hbm,
                 dalpha_ref, dm_ref, nodecat_s, sems,
                 *, be, hf, span):
     j = pl.program_id(0)
+    nprog = pl.num_programs(0)
     # aligned (host-side) first dst node of this edge block
     n0 = pl.multiple_of(meta_ref[j], 8)
-    n_real = meta_ref[pl.num_programs(0)]
+    n_real = meta_ref[nprog]
 
     # one DMA + one gather matmul for all three per-node arrays
-    # [g/(den+eps) | max | out] concatenated on the feature axis
-    cp = pltpu.make_async_copy(nodecat_hbm.at[pl.ds(n0, span), :],
-                               nodecat_s, sems.at[0])
-    cp.start()
-    cp.wait()
+    # [g/(den+eps) | max | out] concatenated on the feature axis.
+    # Double-buffered ACROSS grid steps (scratch + semaphores persist on
+    # TPU): step j waits on the slot its predecessor prefetched and starts
+    # step j+1's slice into the other slot before computing.
+    def slice_dma(slot, idx):
+        base = pl.multiple_of(meta_ref[idx], 8)
+        return pltpu.make_async_copy(nodecat_hbm.at[pl.ds(base, span), :],
+                                     nodecat_s.at[slot], sems.at[slot])
+
+    @pl.when(j == 0)
+    def _():
+        slice_dma(0, 0).start()
+
+    slot = jax.lax.rem(j, 2)
+
+    @pl.when(j + 1 < nprog)
+    def _():
+        slice_dma(1 - slot, j + 1).start()
+
+    slice_dma(slot, j).wait()
 
     edge_ids = jax.lax.broadcasted_iota(jnp.int32, (be, 1), 0)
     valid = (j * be + edge_ids) < n_real                      # (BE, 1)
@@ -158,7 +174,7 @@ def _bwd_kernel(meta_ref, dstb_ref, alpha_ref, m_ref, nodecat_hbm,
     sel = jnp.where((local == col_ids) & valid, 1.0, 0.0)     # (BE, span)
 
     cat_e = jax.lax.dot_general(
-        sel, nodecat_s[:], (((1,), (0,)), ((), ())),
+        sel, nodecat_s[slot], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST)                  # (BE, 3*HF)
     q_e = cat_e[:, 0 * hf:1 * hf]      # g / (den + eps), folded host-side
@@ -278,8 +294,8 @@ def _vjp_bwd(num_nodes, bn, be, interpret, res, g):
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((span, 3 * hf), jnp.float32),
-            pltpu.SemaphoreType.DMA((1,)),
+            pltpu.VMEM((2, span, 3 * hf), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     kernel = functools.partial(_bwd_kernel, be=be, hf=hf, span=span)
