@@ -10,7 +10,8 @@ from .sharding import (
     shard_stacked_batch,
     stack_batches,
 )
-from .trainer import ParallelLoader, make_parallel_eval_step, make_parallel_train_step
+from .trainer import (ParallelLoader, StreamingParallelLoader,
+                      make_parallel_eval_step, make_parallel_train_step)
 
 __all__ = [
     "make_mesh",
@@ -22,6 +23,7 @@ __all__ = [
     "shard_stacked_batch",
     "stack_batches",
     "ParallelLoader",
+    "StreamingParallelLoader",
     "make_parallel_eval_step",
     "make_parallel_train_step",
 ]

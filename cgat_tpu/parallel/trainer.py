@@ -148,6 +148,97 @@ def make_parallel_eval_step(model: CGAtNet, criterion, mean, std, mesh: Mesh,
     return eval_fn
 
 
+class StreamingParallelLoader:
+    """Stacked-group loader over an out-of-core shard stream.
+
+    Composes :class:`cgat_tpu.data.streaming.StreamingGraphLoader` (one shard
+    in host memory, background prefetch, resume-stable per-epoch order) with
+    the stacked-group collation the mesh paths consume: D consecutive
+    minibatches become one stacked batch with group-wide pad dims.
+
+    Multi-host: every process streams ALL shards in the same deterministic
+    order (so the group-wide pad dims agree) but collates only its own
+    ``D / process_count`` replica rows — the same host-side split
+    ParallelLoader does. The stream itself must NOT be shard-sliced here.
+    """
+
+    def __init__(self, stream, n_replicas: int, *, edge_shards: int = 1,
+                 process_index: int = 0, process_count: int = 1):
+        if n_replicas % process_count:
+            raise ValueError(f"n_replicas={n_replicas} not divisible by "
+                             f"process_count={process_count}")
+        self.stream = stream
+        self.n_replicas = n_replicas
+        self.edge_shards = edge_shards
+        self.process_index = process_index
+        self.process_count = process_count
+
+    def __len__(self):
+        return len(self.stream) // self.n_replicas
+
+    def set_epoch(self, epoch: int) -> None:
+        self.stream.set_epoch(epoch)
+
+    def __iter__(self):
+        st = self.stream
+        bs = st.batch_size
+        D = self.n_replicas
+        carry, group = [], []
+        for graphs in st._shards():
+            carry.extend(graphs)
+            while len(carry) >= bs:
+                group.append(carry[:bs])
+                carry = carry[bs:]
+                if len(group) == D:
+                    self.last_counts = {
+                        "edges": sum(len(x.edge_src)
+                                     for c in group for x in c),
+                        "graphs": sum(len(c) for c in group)}
+                    yield collate_group(
+                        group, batch_size=bs, max_nbr=st.max_nbr,
+                        node_bucket=st.node_bucket,
+                        num_comp_slots=st.num_comp_slots,
+                        max_degree=st.max_degree,
+                        edge_shards=self.edge_shards,
+                        process_index=self.process_index,
+                        process_count=self.process_count)
+                    group = []
+        # tail partial group dropped (training loaders are drop_last)
+
+
+def collate_group(chunks, *, batch_size, max_nbr, node_bucket,
+                  num_comp_slots, max_degree=None, edge_shards=1,
+                  process_index=0, process_count=1):
+    """Collate D replica chunks into one stacked batch with GROUP-wide pad
+    dims (identical in every process; only this process's replica rows are
+    actually collated). Shared by ParallelLoader and the streaming variant."""
+    from ..data.batching import collate, pad_to_bucket
+    D = len(chunks)
+    S = edge_shards
+    n_max = max(pad_to_bucket(sum(x.n_atoms for x in c), node_bucket)
+                for c in chunks)
+    if S > 1 and n_max % S:
+        n_max += S - n_max % S
+    # pin the feature width so empty tail chunks (drop_last=False) collate
+    # to the same shape as the real ones
+    fea = next((c[0].atom_fea.shape[1] for c in chunks if c), None)
+    cap = None
+    if S > 1:
+        from ..data.batching import edge_shard_counts
+        worst = max(int(edge_shard_counts(c, n_max, S).max())
+                    for c in chunks)
+        cap = pad_to_bucket(max(worst, 1), 8 * max_nbr)
+    d_local = D // process_count
+    local = chunks[process_index * d_local:(process_index + 1) * d_local]
+    batches = [collate(c, max_nbr=max_nbr, num_graphs=batch_size,
+                       num_comp_slots=num_comp_slots,
+                       num_node_slots=n_max, orig_fea=fea,
+                       edge_shards=S, edge_slots_per_shard=cap,
+                       max_degree=(max_degree if S == 1 else None))
+               for c in local]
+    return stack_batches(batches)
+
+
 class ParallelLoader:
     """Groups D consecutive minibatches into one stacked batch.
 
@@ -196,7 +287,6 @@ class ParallelLoader:
         self.inner.set_epoch(epoch)
 
     def __iter__(self):
-        from ..data.batching import collate, pad_to_bucket
         D = self.n_replicas
         inner = self.inner
         inner.drop_last = self.drop_last
@@ -208,34 +298,13 @@ class ParallelLoader:
             for d in range(D):
                 idx = order[(g * D + d) * bs:(g * D + d + 1) * bs]
                 chunks.append([order_graphs[i] for i in idx])
-            S = self.edge_shards
-            n_max = max(pad_to_bucket(sum(x.n_atoms for x in c),
-                                      self.node_bucket) for c in chunks)
-            if S > 1 and n_max % S:
-                n_max += S - n_max % S
             self.last_counts = {
                 "edges": sum(len(x.edge_src) for c in chunks for x in c),
                 "graphs": sum(len(c) for c in chunks)}
-            # pin the feature width so empty tail chunks (drop_last=False)
-            # collate to the same shape as the real ones
-            fea = next((c[0].atom_fea.shape[1] for c in chunks if c), None)
-            cap = None
-            if S > 1:
-                from ..data.batching import edge_shard_counts
-                worst = max(int(edge_shard_counts(c, n_max, S).max())
-                            for c in chunks)
-                cap = pad_to_bucket(max(worst, 1), 8 * self.max_nbr)
-            # pad dims above are GROUP-wide (identical in every process);
-            # collate only this process's replica chunks
-            d_local = D // self.process_count
-            local = chunks[self.process_index * d_local:
-                           (self.process_index + 1) * d_local]
-            batches = [collate(c, max_nbr=self.max_nbr,
-                               num_graphs=bs,
-                               num_comp_slots=inner.num_comp_slots,
-                               num_node_slots=n_max, orig_fea=fea,
-                               edge_shards=S, edge_slots_per_shard=cap,
-                               max_degree=(inner.max_degree
-                                           if S == 1 else None))
-                       for c in local]
-            yield stack_batches(batches)
+            yield collate_group(chunks, batch_size=bs, max_nbr=self.max_nbr,
+                                node_bucket=self.node_bucket,
+                                num_comp_slots=inner.num_comp_slots,
+                                max_degree=inner.max_degree,
+                                edge_shards=self.edge_shards,
+                                process_index=self.process_index,
+                                process_count=self.process_count)

@@ -386,14 +386,37 @@ class Trainer:
                 max((g.comp_fea.shape[0]
                      for g in self.val_graphs + self.test_graphs), default=1)))
 
-    def _streaming_loader(self):
+    def _streaming_loader(self, process_sliced: bool = True):
         cfg = self.cfg
         from ..data.streaming import StreamingGraphLoader
+        n_proc = jax.process_count() if process_sliced else 1
         return StreamingGraphLoader(
             cfg.data_path, cfg.batch_size, target=cfg.target,
             fea_path=cfg.fea_path, shuffle=True, seed=cfg.seed,
             max_nbr=cfg.max_nbr, node_bucket=cfg.node_bucket,
             meta=self._stream_meta,
+            process_index=jax.process_index() if process_sliced else 0,
+            process_count=n_proc)
+
+    def _grouped_loader(self, n_replicas: int, *, edge_shards: int = 1):
+        """Stacked-group train loader for the mesh / multi-step paths —
+        in-memory or out-of-core depending on ``cfg.streaming``."""
+        cfg = self.cfg
+        from ..parallel import ParallelLoader, StreamingParallelLoader
+        if cfg.streaming:
+            # every process must see every shard (group-wide pad dims);
+            # the dp-row split happens inside the group collation
+            return StreamingParallelLoader(
+                self._streaming_loader(process_sliced=False), n_replicas,
+                edge_shards=edge_shards,
+                process_index=jax.process_index(),
+                process_count=jax.process_count())
+        return ParallelLoader(
+            self.train_graphs, cfg.batch_size, n_replicas,
+            shuffle=True, seed=cfg.seed, max_nbr=cfg.max_nbr,
+            node_bucket=cfg.node_bucket,
+            num_comp_slots=cfg.num_comp_slots,  # None -> loader derives max
+            edge_shards=edge_shards,
             process_index=jax.process_index(),
             process_count=jax.process_count())
 
@@ -475,16 +498,12 @@ class Trainer:
 
         n_dev = cfg.n_devices if cfg.n_devices > 0 else len(jax.devices())
         parallel = n_dev > 1 or cfg.edge_shards > 1
-        if cfg.streaming and (parallel or cfg.steps_per_dispatch > 1):
-            raise NotImplementedError(
-                "streaming training currently drives the single-device "
-                "step; stack it with dp/edge sharding in a later round")
         peval = None
         if parallel:
             # multi-chip path: dp x edge mesh, stacked per-replica batches,
             # XLA SPMD gradient all-reduce (the reference's DDP, train.py:56)
-            from ..parallel import (ParallelLoader, make_mesh,
-                                    make_parallel_train_step, replicate)
+            from ..parallel import (make_mesh, make_parallel_train_step,
+                                    replicate)
             mesh = make_mesh(dp=n_dev // cfg.edge_shards,
                              edge=cfg.edge_shards)
             pstep, shard = make_parallel_train_step(
@@ -493,14 +512,8 @@ class Trainer:
                 dropout=self.model_cfg.dropout > 0, seed=cfg.seed)
             state = replicate(state, mesh)
             train_step = lambda s, b: pstep(s, shard(b))
-            train_loader = ParallelLoader(
-                self.train_graphs, cfg.batch_size, mesh.shape["dp"],
-                shuffle=True, seed=cfg.seed, max_nbr=cfg.max_nbr,
-                node_bucket=cfg.node_bucket,
-                num_comp_slots=cfg.num_comp_slots,  # None -> loader derives dataset max
-                edge_shards=cfg.edge_shards,
-                process_index=jax.process_index(),
-                process_count=jax.process_count())
+            train_loader = self._grouped_loader(mesh.shape["dp"],
+                                                edge_shards=cfg.edge_shards)
             # validation runs across the mesh too (reference sync_dist
             # metric reduction, lightning_module.py:261-280)
             from ..parallel import make_parallel_eval_step
@@ -511,16 +524,11 @@ class Trainer:
         elif cfg.steps_per_dispatch > 1:
             # fuse K steps per dispatch: stacked batches via the same grouped
             # loader the dp path uses, consumed by lax.scan instead of a mesh
-            from ..parallel import ParallelLoader
             train_step = make_multi_step(self.model, self.tx, self.criterion,
                                          self.mean, self.std,
                                          dropout=self.model_cfg.dropout > 0,
                                          seed=cfg.seed)
-            train_loader = ParallelLoader(
-                self.train_graphs, cfg.batch_size, cfg.steps_per_dispatch,
-                shuffle=True, seed=cfg.seed, max_nbr=cfg.max_nbr,
-                node_bucket=cfg.node_bucket,
-                num_comp_slots=cfg.num_comp_slots)  # None -> loader derives dataset max
+            train_loader = self._grouped_loader(cfg.steps_per_dispatch)
         else:
             train_step = make_train_step(self.model, self.tx, self.criterion,
                                          self.mean, self.std,

@@ -123,6 +123,65 @@ def test_streaming_loader_deterministic_epochs(pool, fea16):
     assert e0a != targets_of_epoch(1, True)  # reshuffled across epochs
 
 
+def test_streaming_parallel_loader_groups(pool, fea16):
+    from cgat_tpu.parallel import StreamingParallelLoader
+
+    stream = StreamingGraphLoader(pool, 4, target="e_above_hull",
+                                  fea_path=fea16, max_nbr=4, node_bucket=8,
+                                  shuffle=True, seed=5, prefetch=False)
+    loader = StreamingParallelLoader(stream, 2)
+    batches = list(loader)
+    # 48 graphs / (bs 4 x 2 replicas) = 6 stacked groups
+    assert len(batches) == len(loader) == 6
+    for b in batches:
+        assert b.target.shape == (2, 4)   # (D, C) stacked
+        assert int(np.asarray(b.graph_mask).sum()) == 8
+    # process slicing: each process collates its own dp row of each group,
+    # with identical group-wide shapes
+    l0 = StreamingParallelLoader(
+        StreamingGraphLoader(pool, 4, target="e_above_hull", fea_path=fea16,
+                             max_nbr=4, node_bucket=8, seed=5,
+                             prefetch=False),
+        2, process_index=0, process_count=2)
+    l1 = StreamingParallelLoader(
+        StreamingGraphLoader(pool, 4, target="e_above_hull", fea_path=fea16,
+                             max_nbr=4, node_bucket=8, seed=5,
+                             prefetch=False),
+        2, process_index=1, process_count=2)
+    for full, b0, b1 in zip(batches, l0, l1):
+        np.testing.assert_array_equal(np.asarray(full.target[0]),
+                                      np.asarray(b0.target[0]))
+        np.testing.assert_array_equal(np.asarray(full.target[1]),
+                                      np.asarray(b1.target[0]))
+
+
+def test_streaming_fit_parallel(pool, fea16, tmp_path):
+    """Streaming + dp mesh: out-of-core groups drive the shard_map step."""
+    from cgat_tpu.models import CGATConfig
+    from cgat_tpu.training import Trainer, TrainerConfig
+
+    val_dir = str(tmp_path / "val")
+    os.makedirs(val_dir)
+    shards.save_pickle(make_prepared(8, id_offset=1000, seed=9),
+                       shards.shard_path(0, val_dir))
+    cfg = TrainerConfig(data_path=pool, val_path=val_dir, streaming=True,
+                        target="e_above_hull", fea_path=fea16,
+                        batch_size=4, node_bucket=8, max_nbr=4,
+                        num_comp_slots=8, check_val_every_n_epoch=1,
+                        learning_rate=3e-3, ckpt_dir=str(tmp_path),
+                        n_devices=2)
+    mcfg = CGATConfig(orig_elem_fea_len=16, elem_fea_len=8, n_graph=2,
+                      nbr_embedding_size=8, neighbor_number=4, msg_heads=2,
+                      n_graph_roost=1, out_hidden=(16, 8))
+    trainer = Trainer(cfg, mcfg)
+    trainer.fit(epochs=1)
+    log = os.path.join(trainer.last_log_dir, "metrics.jsonl")
+    recs = [json.loads(l) for l in open(log)]
+    assert any("train_loss" in r and np.isfinite(r["train_loss"])
+               for r in recs)
+    assert any("val_mae" in r and np.isfinite(r["val_mae"]) for r in recs)
+
+
 def test_streaming_fit(pool, fea16, tmp_path):
     from cgat_tpu.models import CGATConfig
     from cgat_tpu.training import Trainer, TrainerConfig
