@@ -536,6 +536,10 @@ class Trainer:
                                          seed=cfg.seed)
             train_loader = (self._streaming_loader() if cfg.streaming
                             else self._loader(self.train_graphs, shuffle=True))
+        # collate ahead of the device: dispatches are synchronous on the
+        # axon runtime, so inline collation adds directly to step time
+        from ..data.prefetch import PrefetchLoader
+        train_loader = PrefetchLoader(train_loader)
         eval_step = make_eval_step(self.model, self.criterion,
                                    self.mean, self.std)
         run_name = cfg.run_name or f"f-{cfg.seed}_t-{time.strftime('%Y-%m-%d_%H-%M-%S')}"

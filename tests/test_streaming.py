@@ -208,3 +208,38 @@ def test_streaming_fit(pool, fea16, tmp_path):
     recs = [json.loads(l) for l in open(log)]
     assert any("val_mae" in r and np.isfinite(r["val_mae"]) for r in recs)
     assert os.path.isdir(os.path.join(trainer.last_log_dir, "checkpoints"))
+
+
+def test_prefetch_loader_transparent(pool, fea16):
+    """PrefetchLoader yields the same batches/counts as the bare loader."""
+    from cgat_tpu.data.prefetch import PrefetchLoader
+
+    def run(wrap):
+        loader = StreamingGraphLoader(pool, 4, target="e_above_hull",
+                                      fea_path=fea16, max_nbr=4,
+                                      node_bucket=8, seed=7, prefetch=False)
+        if wrap:
+            loader = PrefetchLoader(loader)
+        loader.set_epoch(0)
+        out = []
+        for b in loader:
+            out.append((tuple(np.asarray(b.target)),
+                        loader.last_counts["edges"]))
+        return out
+
+    assert run(False) == run(True)
+
+
+def test_prefetch_loader_propagates_errors(pool, fea16):
+    from cgat_tpu.data.prefetch import PrefetchLoader
+
+    class Boom:
+        def __iter__(self):
+            yield 1
+            raise RuntimeError("collate failed")
+
+    loader = PrefetchLoader(Boom())
+    it = iter(loader)
+    next(it)
+    with pytest.raises(RuntimeError, match="collate failed"):
+        next(it)
