@@ -83,6 +83,9 @@ def add_model_args(p: argparse.ArgumentParser):
     p.add_argument("--ckpt-dir", type=str, default="tb_logs")
     p.add_argument("--run-name", type=str, default=None)
     p.add_argument("--tensorboard", action="store_true")
+    p.add_argument("--last-ckpt-every", type=int, default=1,
+                   help="refresh the crash-safe 'last' checkpoint every N "
+                        "non-improving val epochs")
     p.add_argument("--precision", choices=["float32", "bfloat16"],
                    default="float32")
     return p
@@ -122,6 +125,7 @@ def configs_from_args(args) -> tuple[TrainerConfig, CGATConfig]:
         node_bucket=args.node_bucket, num_comp_slots=args.num_comp_slots,
         ckpt_dir=args.ckpt_dir, run_name=args.run_name,
         log_tensorboard=args.tensorboard,
+        last_ckpt_every=getattr(args, "last_ckpt_every", 1),
         n_devices=getattr(args, "devices", 1),
         edge_shards=getattr(args, "edge_shards", 1),
         version=args.version,

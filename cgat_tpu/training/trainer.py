@@ -82,6 +82,9 @@ class TrainerConfig:
     ckpt_dir: str = "tb_logs"
     run_name: str | None = None
     log_tensorboard: bool = False
+    # refresh the crash-safe "last" checkpoint every N non-improving val
+    # epochs (1 = every val epoch; saves cost ~20 s D2H each on the tunnel)
+    last_ckpt_every: int = 1
     # kernels: "auto" uses the fused Pallas path on TPU, XLA elsewhere
     attention_backend: str = "auto"
     # observability
@@ -604,16 +607,29 @@ class Trainer:
                 logger.log(int(state.step), epoch=epoch,
                            val_loss=val_m["loss"], val_mae=val_m["mae"],
                            val_rmse=val_m["rmse"])
-                if val_mae < best_val:
+                improved = val_mae < best_val
+                if improved:
                     best_val = val_mae
                     if ckpt is not None:
                         ckpt.save(state, self, epoch=epoch, val_mae=val_mae,
                                   best_val=best_val)
-                # always refresh "last" for crash-safe resume (the reference
-                # only saved top-1; resume needed an explicit --ckp path)
+                # crash-safe "last" for resume (the reference only saved
+                # top-1; resume needed an explicit --ckp path). A full save
+                # reads the whole train state back over the chip tunnel
+                # (~20 s for the flagship), so clone best's files when the
+                # two coincide and thin standalone saves by last_ckpt_every.
                 if ckpt is not None:
-                    ckpt.save(state, self, epoch=epoch,
-                              val_mae=val_mae, tag="last", best_val=best_val)
+                    if improved:
+                        ckpt.clone("best", "last")
+                        self._vals_since_last = 0
+                    else:
+                        self._vals_since_last = getattr(
+                            self, "_vals_since_last", 0) + 1
+                        if self._vals_since_last >= cfg.last_ckpt_every:
+                            ckpt.save(state, self, epoch=epoch,
+                                      val_mae=val_mae, tag="last",
+                                      best_val=best_val)
+                            self._vals_since_last = 0
         self.last_log_dir = log_dir
         return state
 
@@ -729,6 +745,19 @@ class CheckpointManager:
         }
         with open(os.path.join(self.dir, f"{tag}.json"), "w") as f:
             json.dump(meta, f, indent=2, default=str)
+
+    def clone(self, src_tag: str, dst_tag: str):
+        """Duplicate an on-disk checkpoint under another tag (host-side file
+        copy — no device readback). Used when 'best' and 'last' coincide:
+        a full save costs ~20 s of D2H over the chip tunnel."""
+        import shutil
+        src = os.path.join(self.dir, src_tag)
+        dst = os.path.join(self.dir, dst_tag)
+        if os.path.isdir(dst):
+            shutil.rmtree(dst)
+        shutil.copytree(src, dst)
+        shutil.copyfile(os.path.join(self.dir, f"{src_tag}.json"),
+                        os.path.join(self.dir, f"{dst_tag}.json"))
 
     @staticmethod
     def _resolve(ckpt_dir: str) -> str:
