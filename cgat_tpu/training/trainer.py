@@ -642,6 +642,8 @@ class Trainer:
         tot, n = None, 0.0
         loader = self._loader(graphs, shuffle=False)
         loader.drop_last = False
+        from ..data.prefetch import PrefetchLoader
+        loader = PrefetchLoader(loader)
         for batch in loader:
             m = eval_step(params, batch)
             tot = m if tot is None else jax.tree.map(jnp.add, tot, m)
@@ -684,6 +686,8 @@ class Trainer:
         preds = []
         loader = self._loader(graphs, shuffle=False)
         loader.drop_last = False
+        from ..data.prefetch import PrefetchLoader
+        loader = PrefetchLoader(loader)
         for batch in loader:
             p, _ = step(params, batch)
             preds.append(np.asarray(p)[np.asarray(batch.graph_mask)])
