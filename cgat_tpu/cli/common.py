@@ -77,6 +77,17 @@ def add_model_args(p: argparse.ArgumentParser):
                    action="store_false", help=argparse.SUPPRESS)
     p.add_argument("--std-loss", dest="robust_loss", action="store_false",
                    help=argparse.SUPPRESS)
+    # reference --mean-pooling is store_false and the trainer passes the
+    # negation (lightning_module.py:549-551, 170): passing the flag turns
+    # head-averaging ON — same effect as --mean-pool-heads here
+    p.add_argument("--mean-pooling", dest="mean_pool_heads",
+                   action="store_true", help=argparse.SUPPRESS)
+    # accepted-for-compatibility no-ops: collation overlap is a built-in
+    # prefetch thread (data/prefetch.py), and the dataset-loading toggle is
+    # implicit in the load/predict paths (lightning_module.py:463-467, 572)
+    p.add_argument("--workers", type=int, default=0, help=argparse.SUPPRESS)
+    p.add_argument("--train", action="store_false", dest="_ref_train",
+                   help=argparse.SUPPRESS)
     # batching / io
     p.add_argument("--node-bucket", type=int, default=64)
     p.add_argument("--num-comp-slots", type=int, default=12)
@@ -106,10 +117,30 @@ def add_trainer_args(p: argparse.ArgumentParser):
                    help="checkpoint run dir to resume from")
     p.add_argument("--pretrained-model", type=str, default=None,
                    help="checkpoint run dir for transfer learning")
+    # reference trainer-level aliases (train.py:86-131): --gpus maps to
+    # data-parallel TPU devices; apex AMP levels map to the bf16 path
+    # (01/02 = mixed precision, train.py:106-110); the NCCL backend choice
+    # and GPU pinning have no TPU analogue (XLA SPMD always) and are
+    # accepted as no-ops so reference scripts run unchanged
+    p.add_argument("--gpus", dest="devices", type=int,
+                   help=argparse.SUPPRESS)
+    p.add_argument("--amp_optimization", type=str, default="00",
+                   choices=["00", "01", "02"], help=argparse.SUPPRESS)
+    p.add_argument("--distributed_backend", type=str, default="ddp",
+                   help=argparse.SUPPRESS)
+    p.add_argument("--first-gpu", type=int, default=0,
+                   help=argparse.SUPPRESS)
+    p.add_argument("--test", action="store_true", dest="_ref_test",
+                   help=argparse.SUPPRESS)  # declared but dead in the
+    #   reference (train.py:123-126 — main() never reads it)
     return p
 
 
 def configs_from_args(args) -> tuple[TrainerConfig, CGATConfig]:
+    # apex AMP levels 01/02 = mixed precision (reference train.py:106-110);
+    # the TPU analogue is bf16 compute with f32 params
+    if getattr(args, "amp_optimization", "00") in ("01", "02"):
+        args.precision = "bfloat16"
     tcfg = TrainerConfig(
         data_path=args.data_path, fea_path=args.fea_path, target=args.target,
         max_nbr=args.max_nbr, val_size=args.val_size, test_size=args.test_size,

@@ -51,6 +51,12 @@ BLOCK_EDGES = 768   # edges per DMA chunk (x2 slots must fit VMEM)
 # kernels through the Pallas interpreter on CPU)
 INTERPRET = False
 
+# backward edge-block override for tuning (None = derive from the forward
+# block by halving while > 256; see _vjp_bwd). Total gather-matmul FLOPs in
+# the backward scale with E*(be+8), so smaller blocks do strictly less work —
+# down to where DMA issue overhead dominates.
+BWD_BLOCK_EDGES: int | None = None
+
 
 def _fwd_kernel(off_ref, alpha_hbm, m_hbm, dstb_hbm,
                 out_ref, max_ref, den_ref,
@@ -255,8 +261,11 @@ def _vjp_bwd(num_nodes, bn, be, interpret, res, g):
     e_tot, hf = alpha2.shape
     # smaller blocks than fwd: the bwd holds 4 node-slice scratches + 4
     # double-buffered edge blocks in VMEM at once
-    while be > 256 and e_tot % (be // 2) == 0:
-        be //= 2
+    if BWD_BLOCK_EDGES and e_tot % BWD_BLOCK_EDGES == 0:
+        be = BWD_BLOCK_EDGES
+    else:
+        while be > 256 and e_tot % (be // 2) == 0:
+            be //= 2
     # a sorted BE-edge block touches at most BE distinct nodes; +8 covers
     # the sublane alignment of the node-slice DMA start
     span = be + 8

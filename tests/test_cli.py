@@ -76,3 +76,42 @@ def test_cli_end_to_end(tmp_path):
         preds = pickle.load(f)
     assert len(preds["pred"]) == len(preds["ids"])
     assert np.all(np.isfinite(preds["pred"]))
+
+
+def test_reference_flag_aliases():
+    """Every flag a reference training script passes parses here with the
+    reference's semantics (train.py:86-131, lightning_module.py:426-593)."""
+    import argparse
+
+    from cgat_tpu.cli.common import (add_model_args, add_trainer_args,
+                                     configs_from_args)
+
+    p = argparse.ArgumentParser()
+    add_trainer_args(p)
+    add_model_args(p)
+    args = p.parse_args([
+        "--gpus", "2", "--first-gpu", "0", "--distributed_backend", "ddp",
+        "--amp_optimization", "01", "--workers", "4", "--train", "--test",
+        "--mean-pooling", "--std-loss", "--update_edges",
+        "--acc_batches", "3", "--lr", "2e-4",
+    ])
+    assert args.devices == 2              # --gpus -> data-parallel devices
+    assert args.mean_pool_heads is True   # inverted store_false alias
+    assert args.robust_loss is False      # --std-loss disables robust loss
+    assert args.update_edges is False     # reference inverting alias
+    assert args.acc_batches == 3
+    tcfg, mcfg = configs_from_args(args)
+    assert mcfg.compute_dtype == "bfloat16"   # apex level 01 -> bf16
+    assert mcfg.mean_pooling is True
+    assert mcfg.update_edges is False
+    assert tcfg.learning_rate == 2e-4
+    assert tcfg.acc_batches == 3
+
+    # defaults stay the reference's effective defaults when nothing passed
+    p2 = argparse.ArgumentParser()
+    add_trainer_args(p2)
+    add_model_args(p2)
+    d = p2.parse_args([])
+    assert d.devices == 0 and d.update_edges is True and d.clr is True
+    _, m2 = configs_from_args(d)
+    assert m2.compute_dtype == "float32"
