@@ -259,12 +259,16 @@ def _vjp_fwd(alpha2, m2, dst2, n_real, num_nodes, bn, be, interpret):
 def _vjp_bwd(num_nodes, bn, be, interpret, res, g):
     alpha2, m2, dst2, n_real, maxv, den, out = res
     e_tot, hf = alpha2.shape
-    # smaller blocks than fwd: the bwd holds 4 node-slice scratches + 4
-    # double-buffered edge blocks in VMEM at once
+    # much smaller blocks than fwd: the gather matmul is (BE, BE+8) x
+    # (BE+8, 3*HF), so total backward gather FLOPs scale with E*(BE+8) —
+    # smaller blocks do strictly less work until DMA/grid overhead bites.
+    # Measured on v5e (flagship fwd+bwd, interleaved min-of-trials):
+    # 256 -> 7.96 ms, 192 -> 7.28, 96 -> 6.59 (knee), 64 -> 6.77, 32 -> 7.09;
+    # full train step +4.7% sparse / +5.5% dense at 96 vs 192.
     if BWD_BLOCK_EDGES and e_tot % BWD_BLOCK_EDGES == 0:
         be = BWD_BLOCK_EDGES
     else:
-        while be > 256 and e_tot % (be // 2) == 0:
+        while be > 128 and e_tot % (be // 2) == 0:
             be //= 2
     # a sorted BE-edge block touches at most BE distinct nodes; +8 covers
     # the sublane alignment of the node-slice DMA start
