@@ -87,3 +87,43 @@ def test_scalar_attention_falls_back(rng):
     want = xla_op(alpha, m, jnp.asarray(dst), 16)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_backward_block_policy_and_grads(rng):
+    """The backward derives its own (smaller) edge block from the forward's:
+    halve while > 128, i.e. 768 -> 96 (measured knee on v5e, see
+    segment_attention._vjp_bwd). Gradients must match XLA at the default
+    production block sizes for edge counts that are / are not multiples of
+    the forward block."""
+    from cgat_tpu.ops.pallas import segment_attention as sa
+
+    # policy: 768 -> 96, 512 -> 128, 256 -> 256 (cannot halve below divisor)
+    for fwd_be, e_tot, want in ((768, 768 * 4, 96), (512, 512, 128),
+                                (256, 256, 128)):
+        be = fwd_be
+        if sa.BWD_BLOCK_EDGES and e_tot % sa.BWD_BLOCK_EDGES == 0:
+            be = sa.BWD_BLOCK_EDGES
+        else:
+            while be > 128 and e_tot % (be // 2) == 0:
+                be //= 2
+        assert be == want, (fwd_be, e_tot, be)
+
+    # grads at the production defaults (block_edges=768 -> bwd 96) on an
+    # edge count that is NOT a multiple of 768 (wrapper pads it up)
+    alpha, m, dst, mask, n = make_problem(rng, n_nodes=64, n_real_edges=700,
+                                          e_tot=800, h=2, f=128)
+
+    def loss(op):
+        def f(a, mm):
+            out = op(a, mm, dst, n, edge_mask=mask)
+            return jnp.sum(out * jnp.arange(out.size, dtype=out.dtype
+                                            ).reshape(out.shape))
+        return f
+
+    want = jax.grad(loss(lambda *a, **k: xla_op(*a, **k)),
+                    argnums=(0, 1))(alpha, m)
+    got = jax.grad(loss(lambda *a, **k: pallas_op(*a, interpret=True, **k)),
+                   argnums=(0, 1))(alpha, m)
+    for w, g in zip(want, got):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   rtol=1e-3, atol=1e-3)
