@@ -1,0 +1,326 @@
+"""Import a reference PyTorch-Lightning checkpoint into a cgat_tpu run dir.
+
+The reference trains with PyTorch Lightning and saves checkpoints holding
+``state_dict`` (the CGAtNet weights under a ``model.`` prefix plus the
+normalisation ``mean``/``std`` Parameters, lightning_module.py:44-46) and
+``hyper_parameters`` (the argparse namespace, lightning_module.py:49).
+This tool converts such a checkpoint into this framework's checkpoint
+format so a reference user can switch without retraining:
+
+    cgat-import-torch model.ckpt --out tb_logs/runs/imported
+    cgat-evaluate tb_logs/runs/imported --data-path ...
+    train-CGAT --pretrained-model tb_logs/runs/imported ...
+
+Weight-layout transforms (torch -> flax):
+* ``nn.Linear.weight`` is ``(out, in)``; flax kernels are ``(in, out)``
+  -> transpose.
+* ``MultiHeadNetwork`` grouped ``nn.Conv1d`` (CGAT.py:91-100) stores
+  ``(heads*out, in_per_group, 1)`` with head h owning output channels
+  ``[h*out, (h+1)*out)``; our batched-einsum kernels are ``(heads, out, in)``
+  -> squeeze the kernel dim and reshape.
+* ``nn.Embedding.weight`` matches flax ``Embed.embedding`` directly.
+
+Key-path mapping (reference module attributes, CGAT.py:359-537):
+``model.embedding`` -> ``embedding``; ``model.nbr_embedding`` ->
+``nbr_embedding``; ``model.graphs.{i}.Node/.Edge`` -> ``graph_{i}_Node`` /
+``graph_{i}_Edge`` (``graphs.{i}`` alone when ``update_edges=False``);
+hypernetworks ``Pooling_NN.Hyper.layers.{j}[.hyper_linear].hypo_params.net.
+{k}[.net.0]`` -> ``Pooling_NN.Hyper.layer_{j}|layer_last.hypo_params.
+fc_{k}|fc_last`` (Hypernetworksmp.py:24-254); ``model.roost.graphs.{i}.
+pooling.0`` -> ``roost.graph_{i}.head0_*`` (roost_message.py:88-215);
+``model.cry_pool`` -> ``cry_pool``; ``model.output_nn.fcs/res_fcs/rezeros``
+-> ``output_nn.fc_{k}/res_fc_{k}/rezero_{k}`` (message_changed.py:81-138).
+
+The import is strict: every reference tensor must be consumed and every
+flax leaf filled, else it raises with the offending keys.
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+from typing import Any
+
+import numpy as np
+
+
+# ---------------------------------------------------------------- helpers
+
+def _t(w) -> np.ndarray:
+    return np.ascontiguousarray(np.asarray(w, dtype=np.float32).T)
+
+
+def _np(w) -> np.ndarray:
+    return np.asarray(w, dtype=np.float32)
+
+
+def _mh(dst: dict, sd: dict, ref: str, heads: int):
+    """MultiHeadNetwork: grouped Conv1d pair -> (H, out, in) kernels."""
+    for conv, kname, bname in (("fc_in", "fc_in_kernel", "fc_in_bias"),
+                               ("fc_out", "fc_out_kernel", "fc_out_bias")):
+        w = _np(sd.pop(f"{ref}.{conv}.weight"))          # (H*out, in, 1)
+        b = _np(sd.pop(f"{ref}.{conv}.bias"))            # (H*out,)
+        out = w.shape[0] // heads
+        dst[kname] = w[:, :, 0].reshape(heads, out, w.shape[1])
+        dst[bname] = b.reshape(heads, out)
+
+
+def _linear(sd: dict, ref: str, bias: bool = True) -> dict:
+    d = {"kernel": _t(sd.pop(f"{ref}.weight"))}
+    if bias:
+        d["bias"] = _np(sd.pop(f"{ref}.bias"))
+    return d
+
+
+def _simple(sd: dict, ref: str) -> dict:
+    """SimpleNetwork: fcs.{k} -> fc_{k}, fc_out (message_changed.py:31-66)."""
+    d = {}
+    k = 0
+    while f"{ref}.fcs.{k}.weight" in sd:
+        d[f"fc_{k}"] = _linear(sd, f"{ref}.fcs.{k}")
+        k += 1
+    d["fc_out"] = _linear(sd, f"{ref}.fc_out")
+    return d
+
+
+def _fc_block(sd: dict, ref: str) -> dict:
+    """FCBlock: Sequential of FCLayer(.net.0 Linear) + final plain Linear
+    (Hypernetworksmp.py:36-83)."""
+    d = {}
+    k = 0
+    while f"{ref}.net.{k}.net.0.weight" in sd:
+        lin = _linear(sd, f"{ref}.net.{k}.net.0")
+        d[f"fc_{k}_kernel"] = lin["kernel"]
+        d[f"fc_{k}_bias"] = lin["bias"]
+        k += 1
+    lin = _linear(sd, f"{ref}.net.{k}")                  # outermost Linear
+    d["fc_last_kernel"] = lin["kernel"]
+    d["fc_last_bias"] = lin["bias"]
+    return d
+
+
+def _hyper_fc(sd: dict, ref: str) -> dict:
+    """HyperFC: layers.{j} are HyperLayer (.hyper_linear.hypo_params) except
+    the last, a bare HyperLinear (.hypo_params) (Hypernetworksmp.py:117-185).
+    Ours: layer_{j} / layer_last, each holding ``hypo_params``."""
+    d = {}
+    j = 0
+    while f"{ref}.layers.{j}.hyper_linear.hypo_params.net.0.net.0.weight" in sd:
+        d[f"layer_{j}"] = {"hypo_params": _fc_block(
+            sd, f"{ref}.layers.{j}.hyper_linear.hypo_params")}
+        j += 1
+    d["layer_last"] = {"hypo_params": _fc_block(
+        sd, f"{ref}.layers.{j}.hypo_params")}
+    return d
+
+
+def _pooling_nn(sd: dict, ref: str) -> dict:
+    """Node/edge update head: H_Net/H_Net_0 (has .Hyper) or SimpleNetwork."""
+    if any(k.startswith(f"{ref}.Hyper.") for k in sd):
+        d = {"Hyper": _hyper_fc(sd, f"{ref}.Hyper")}
+        if f"{ref}.damping" in sd:                       # H_Net only
+            d["damping"] = _np(sd.pop(f"{ref}.damping"))
+        return d
+    return _simple(sd, ref)
+
+
+def _gat_conv(sd: dict, ref: str, heads: int) -> dict:
+    d = {}
+    _mh(mha := {}, sd, f"{ref}.MH_A", heads); d["MH_A"] = mha
+    _mh(mhm := {}, sd, f"{ref}.MH_M", heads); d["MH_M"] = mhm
+    d["Pooling_NN"] = _pooling_nn(sd, f"{ref}.Pooling_NN")
+    return d
+
+
+def _roost(sd: dict) -> dict:
+    d = {"embedding": _linear(sd, "roost.embedding")}
+    i = 0
+    while f"roost.graphs.{i}.pooling.0.pow" in sd:
+        d[f"graph_{i}"] = {
+            "head0_gate_nn": _simple(sd, f"roost.graphs.{i}.pooling.0.gate_nn"),
+            "head0_message_nn": _simple(
+                sd, f"roost.graphs.{i}.pooling.0.message_nn"),
+            "head0_pow": _np(sd.pop(f"roost.graphs.{i}.pooling.0.pow")),
+        }
+        i += 1
+    d["cry_pool0_gate_nn"] = _simple(sd, "roost.cry_pool.0.gate_nn")
+    d["cry_pool0_pow"] = _np(sd.pop("roost.cry_pool.0.pow"))
+    return d
+
+
+def _residual(sd: dict, ref: str) -> dict:
+    d = {}
+    k = 0
+    while f"{ref}.fcs.{k}.weight" in sd:
+        d[f"fc_{k}"] = _linear(sd, f"{ref}.fcs.{k}")
+        if f"{ref}.res_fcs.{k}.weight" in sd:            # Identity otherwise
+            d[f"res_fc_{k}"] = _linear(sd, f"{ref}.res_fcs.{k}", bias=False)
+        if f"{ref}.rezeros.{k}.alpha" in sd:
+            d[f"rezero_{k}"] = {"alpha": _np(sd.pop(f"{ref}.rezeros.{k}.alpha"))}
+        k += 1
+    d["fc_out"] = _linear(sd, f"{ref}.fc_out")
+    return d
+
+
+# ------------------------------------------------------------ public API
+
+def config_from_hparams(hp: dict):
+    """CGATConfig from the checkpoint's argparse namespace, reproducing the
+    reference trainer's kwargs exactly (lightning_module.py:161-176):
+    ``mean_pooling`` is negated, ``nbr_embedding_size`` is NOT forwarded
+    (the declared flag is dead; the model default 128 applies), and
+    ``no_hyper`` is never passed (stays True)."""
+    from ..models import CGATConfig
+    return CGATConfig(
+        orig_elem_fea_len=200,
+        elem_fea_len=hp.get("atom_fea_len", 128),
+        n_graph=hp.get("n_graph", 5),
+        nbr_embedding_size=128,
+        neighbor_number=hp.get("max_nbr", 24),
+        mean_pooling=not hp.get("mean_pooling", True),
+        rezero=hp.get("rezero", True),
+        msg_heads=hp.get("msg_heads", 5),
+        update_edges=hp.get("update_edges", True),
+        vector_attention=hp.get("vector_attention", True),
+        global_vector_attention=hp.get("global_vector_attention", True),
+        n_graph_roost=hp.get("n_graph_roost", 3),
+        no_hyper=True,
+    )
+
+
+def params_from_state_dict(state_dict: dict, cfg) -> tuple[dict, float, float]:
+    """Convert a LightningModel ``state_dict`` -> (flax params, mean, std).
+
+    Strict: raises on unconsumed reference tensors or missing flax leaves.
+    """
+    sd = {k: _np(v) for k, v in state_dict.items()}
+    mean = float(np.ravel(sd.pop("mean", np.zeros(1)))[0])
+    std = float(np.ravel(sd.pop("std", np.ones(1)))[0])
+    sd = {k[len("model."):] if k.startswith("model.") else k: v
+          for k, v in sd.items()}
+
+    params: dict[str, Any] = {
+        "embedding": {"kernel": _t(sd.pop("embedding.weight"))},
+        "nbr_embedding": {"embedding": _np(sd.pop("nbr_embedding.weight"))},
+    }
+    for i in range(cfg.n_graph):
+        if cfg.update_edges:
+            params[f"graph_{i}_Node"] = _gat_conv(sd, f"graphs.{i}.Node",
+                                                  cfg.msg_heads)
+            params[f"graph_{i}_Edge"] = _gat_conv(sd, f"graphs.{i}.Edge",
+                                                  cfg.msg_heads)
+        else:
+            params[f"graph_{i}_Node"] = _gat_conv(sd, f"graphs.{i}",
+                                                  cfg.msg_heads)
+    params["roost"] = _roost(sd)
+    params["cry_pool"] = _gat_conv_mh_only(sd, "cry_pool", cfg.msg_heads)
+    params["output_nn"] = _residual(sd, "output_nn")
+
+    if sd:
+        raise ValueError(f"unconsumed reference tensors: {sorted(sd)[:10]}"
+                         f"{' ...' if len(sd) > 10 else ''}")
+    _check_complete(params, cfg)
+    return params, mean, std
+
+
+def _gat_conv_mh_only(sd: dict, ref: str, heads: int) -> dict:
+    d = {}
+    _mh(mha := {}, sd, f"{ref}.MH_A", heads); d["MH_A"] = mha
+    _mh(mhm := {}, sd, f"{ref}.MH_M", heads); d["MH_M"] = mhm
+    return d
+
+
+def _check_complete(params: dict, cfg) -> None:
+    """Imported tree must match the model's own init structure leaf-for-leaf."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from ..data import collate
+    from ..data.synthetic import random_graphs
+    from ..models import CGAtNet
+    from ..models.host_init import init_params_host
+
+    model = CGAtNet(cfg)
+    graphs = random_graphs(0, 2, n_atoms_range=(3, 5),
+                           max_nbr=cfg.neighbor_number,
+                           orig_fea=cfg.orig_elem_fea_len)
+    batch = collate(graphs, max_nbr=cfg.neighbor_number, node_bucket=8)
+    want = init_params_host(model, batch, seed=0)
+
+    def paths(tree, prefix=""):
+        if isinstance(tree, dict):
+            out = {}
+            for k, v in tree.items():
+                out.update(paths(v, f"{prefix}/{k}"))
+            return out
+        return {prefix: np.shape(tree)}
+
+    w, g = paths(want), paths(params)
+    missing = sorted(set(w) - set(g))
+    extra = sorted(set(g) - set(w))
+    bad = sorted(k for k in set(w) & set(g) if w[k] != g[k])
+    if missing or extra or bad:
+        raise ValueError(f"import mismatch: missing={missing[:5]} "
+                         f"extra={extra[:5]} "
+                         f"shape={[(k, g[k], w[k]) for k in bad[:5]]}")
+
+
+def import_checkpoint(ckpt_path: str, out_dir: str) -> str:
+    """Convert a reference .ckpt into a cgat_tpu run dir loadable by
+    ``load_trainer`` / ``cgat-evaluate`` / ``--pretrained-model``."""
+    import torch
+
+    ckpt = torch.load(ckpt_path, map_location="cpu", weights_only=False)
+    state_dict = ckpt.get("state_dict", ckpt)
+    hp = ckpt.get("hyper_parameters", {})
+    if hasattr(hp, "__dict__") and not isinstance(hp, dict):
+        hp = dict(hp.__dict__)
+    cfg = config_from_hparams(hp)
+    params, mean, std = params_from_state_dict(state_dict, cfg)
+
+    import orbax.checkpoint as ocp
+
+    from ..training.trainer import TrainerConfig
+
+    tcfg = TrainerConfig(
+        target=hp.get("target", "e_above_hull_new"),
+        max_nbr=hp.get("max_nbr", 24),
+        batch_size=hp.get("batch_size", 64),
+        learning_rate=hp.get("learning_rate", 1.25e-4),
+        optim=hp.get("optim", "AdamW"),
+    )
+    d = os.path.abspath(os.path.join(out_dir, "checkpoints"))
+    os.makedirs(d, exist_ok=True)
+    step = int(ckpt.get("global_step", 0))
+    with ocp.PyTreeCheckpointer() as ckptr:
+        ckptr.save(os.path.join(d, "best"),
+                   {"params": params, "step": np.int32(step),
+                    "opt_state": {}}, force=True)
+    meta = {
+        "epoch": int(ckpt.get("epoch", 0)), "val_mae": float("nan"),
+        "best_val": float("inf"), "plateau": None,
+        "mean": mean, "std": std,
+        "trainer_config": dataclasses.asdict(tcfg),
+        "model_config": dataclasses.asdict(cfg),
+        "imported_from": os.path.abspath(ckpt_path),
+    }
+    with open(os.path.join(d, "best.json"), "w") as f:
+        json.dump(meta, f, indent=2, default=str)
+    return out_dir
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("checkpoint", help="reference PyTorch-Lightning .ckpt")
+    p.add_argument("--out", required=True,
+                   help="run dir to create (use with cgat-evaluate, "
+                        "cgat-predict, train-CGAT --pretrained-model)")
+    args = p.parse_args(argv)
+    out = import_checkpoint(args.checkpoint, args.out)
+    print(f"imported -> {out}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
