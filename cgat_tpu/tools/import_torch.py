@@ -310,15 +310,157 @@ def import_checkpoint(ckpt_path: str, out_dir: str) -> str:
     return out_dir
 
 
+# --------------------------------------------------- reverse: export
+
+def export_state_dict(params: dict, cfg) -> dict:
+    """Inverse mapping: flax params -> reference ``state_dict`` keys
+    (``model.`` prefix excluded). Exact roundtrip with
+    :func:`params_from_state_dict`."""
+    sd: dict[str, np.ndarray] = {}
+
+    def mh(ours: dict, ref: str):
+        for conv, kname, bname in (("fc_in", "fc_in_kernel", "fc_in_bias"),
+                                   ("fc_out", "fc_out_kernel",
+                                    "fc_out_bias")):
+            k = _np(ours[kname])                          # (H, out, in)
+            h, out, i = k.shape
+            sd[f"{ref}.{conv}.weight"] = k.reshape(h * out, i)[:, :, None]
+            sd[f"{ref}.{conv}.bias"] = _np(ours[bname]).reshape(h * out)
+
+    def linear(ours: dict, ref: str):
+        sd[f"{ref}.weight"] = _t(ours["kernel"])
+        if "bias" in ours:
+            sd[f"{ref}.bias"] = _np(ours["bias"])
+
+    def simple(ours: dict, ref: str):
+        for key in ours:
+            if key == "fc_out":
+                linear(ours[key], f"{ref}.fc_out")
+            else:                                         # fc_{k}
+                linear(ours[key], f"{ref}.fcs.{key[3:]}")
+
+    def fc_block(ours: dict, ref: str):
+        ks = sorted(int(k[3:-7]) for k in ours
+                    if k.startswith("fc_") and k.endswith("_kernel")
+                    and k != "fc_last_kernel")
+        for k in ks:
+            sd[f"{ref}.net.{k}.net.0.weight"] = _t(ours[f"fc_{k}_kernel"])
+            sd[f"{ref}.net.{k}.net.0.bias"] = _np(ours[f"fc_{k}_bias"])
+        last = len(ks)
+        sd[f"{ref}.net.{last}.weight"] = _t(ours["fc_last_kernel"])
+        sd[f"{ref}.net.{last}.bias"] = _np(ours["fc_last_bias"])
+
+    def pooling(ours: dict, ref: str):
+        if "Hyper" in ours:
+            hyper = ours["Hyper"]
+            n = sum(1 for k in hyper if k.startswith("layer_")
+                    and k != "layer_last")
+            for j in range(n):
+                fc_block(hyper[f"layer_{j}"]["hypo_params"],
+                         f"{ref}.Hyper.layers.{j}.hyper_linear.hypo_params")
+            fc_block(hyper["layer_last"]["hypo_params"],
+                     f"{ref}.Hyper.layers.{n}.hypo_params")
+            if "damping" in ours:
+                sd[f"{ref}.damping"] = _np(ours["damping"])
+        else:
+            simple(ours, ref)
+
+    def gat(ours: dict, ref: str):
+        mh(ours["MH_A"], f"{ref}.MH_A")
+        mh(ours["MH_M"], f"{ref}.MH_M")
+        if "Pooling_NN" in ours:
+            pooling(ours["Pooling_NN"], f"{ref}.Pooling_NN")
+
+    linear(params["embedding"], "embedding")
+    sd["nbr_embedding.weight"] = _np(params["nbr_embedding"]["embedding"])
+    for i in range(cfg.n_graph):
+        if cfg.update_edges:
+            gat(params[f"graph_{i}_Node"], f"graphs.{i}.Node")
+            gat(params[f"graph_{i}_Edge"], f"graphs.{i}.Edge")
+        else:
+            gat(params[f"graph_{i}_Node"], f"graphs.{i}")
+    roost = params["roost"]
+    linear(roost["embedding"], "roost.embedding")
+    i = 0
+    while f"graph_{i}" in roost:
+        g = roost[f"graph_{i}"]
+        simple(g["head0_gate_nn"], f"roost.graphs.{i}.pooling.0.gate_nn")
+        simple(g["head0_message_nn"],
+               f"roost.graphs.{i}.pooling.0.message_nn")
+        sd[f"roost.graphs.{i}.pooling.0.pow"] = _np(g["head0_pow"])
+        i += 1
+    simple(roost["cry_pool0_gate_nn"], "roost.cry_pool.0.gate_nn")
+    sd["roost.cry_pool.0.pow"] = _np(roost["cry_pool0_pow"])
+    gat(params["cry_pool"], "cry_pool")
+    out_nn = params["output_nn"]
+    for key in out_nn:
+        if key == "fc_out":
+            linear(out_nn[key], "output_nn.fc_out")
+        elif key.startswith("res_fc_"):
+            linear(out_nn[key], f"output_nn.res_fcs.{key[7:]}")
+        elif key.startswith("rezero_"):
+            sd[f"output_nn.rezeros.{key[7:]}.alpha"] = _np(out_nn[key]["alpha"])
+        else:                                             # fc_{k}
+            linear(out_nn[key], f"output_nn.fcs.{key[3:]}")
+    return sd
+
+
+def export_checkpoint(run_dir: str, out_ckpt: str, tag: str = "best") -> str:
+    """cgat_tpu run dir -> reference-format Lightning ``.ckpt`` (so models
+    fine-tuned here can go back to a reference installation)."""
+    import torch
+
+    from ..training.trainer import CheckpointManager
+
+    params, meta = CheckpointManager.load(run_dir, tag=tag)
+    mcfg_d = dict(meta["model_config"])
+    mcfg_d["out_hidden"] = tuple(mcfg_d.get("out_hidden", ()))
+    from ..models import CGATConfig
+    cfg = CGATConfig(**{k: v for k, v in mcfg_d.items()
+                        if k in CGATConfig.__dataclass_fields__})
+    sd = {f"model.{k}": torch.tensor(v)
+          for k, v in export_state_dict(params, cfg).items()}
+    sd["mean"] = torch.tensor([float(meta["mean"])])
+    sd["std"] = torch.tensor([float(meta["std"])])
+    tcfg = meta.get("trainer_config", {})
+    # reference hparams namespace: note mean_pooling is stored *negated*
+    # (the trainer passes `not hparams.mean_pooling`, lightning_module.py:170)
+    hp = {
+        "atom_fea_len": cfg.elem_fea_len, "n_graph": cfg.n_graph,
+        "max_nbr": cfg.neighbor_number, "msg_heads": cfg.msg_heads,
+        "n_graph_roost": cfg.n_graph_roost, "rezero": cfg.rezero,
+        "mean_pooling": not cfg.mean_pooling,
+        "update_edges": cfg.update_edges,
+        "vector_attention": cfg.vector_attention,
+        "global_vector_attention": cfg.global_vector_attention,
+        "target": tcfg.get("target", "e_above_hull_new"),
+        "batch_size": tcfg.get("batch_size", 64),
+        "learning_rate": tcfg.get("learning_rate", 1.25e-4),
+        "optim": tcfg.get("optim", "AdamW"),
+        "version": "CGAT.CGAT", "train": False,
+    }
+    torch.save({"state_dict": sd, "hyper_parameters": hp,
+                "epoch": int(meta.get("epoch", 0)), "global_step": 0},
+               out_ckpt)
+    return out_ckpt
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("checkpoint", help="reference PyTorch-Lightning .ckpt")
+    p.add_argument("checkpoint",
+                   help="reference .ckpt to import, or (with --export) a "
+                        "cgat_tpu run dir to export")
     p.add_argument("--out", required=True,
-                   help="run dir to create (use with cgat-evaluate, "
-                        "cgat-predict, train-CGAT --pretrained-model)")
+                   help="run dir to create (import) / .ckpt path (--export)")
+    p.add_argument("--export", action="store_true",
+                   help="reverse direction: run dir -> reference .ckpt")
     args = p.parse_args(argv)
-    out = import_checkpoint(args.checkpoint, args.out)
-    print(f"imported -> {out}")
+    if args.export:
+        out = export_checkpoint(args.checkpoint, args.out)
+        print(f"exported -> {out}")
+    else:
+        out = import_checkpoint(args.checkpoint, args.out)
+        print(f"imported -> {out}")
     return 0
 
 

@@ -341,3 +341,47 @@ def test_import_checkpoint_cli_roundtrip(tmp_path, ref_and_imported):
         {"params": jax.tree.map(jax.numpy.asarray, params)}, batch)
     assert out_arr.shape == (batch.num_graphs, 2)
     assert bool(np.all(np.isfinite(np.asarray(out_arr))))
+
+
+def test_export_reproduces_reference_state_dict(ref_and_imported):
+    """export_state_dict is the exact inverse: same keys, same values as the
+    torch module tree the weights came from."""
+    from cgat_tpu.tools.import_torch import export_state_dict
+
+    ref, cfg, params, _, _ = ref_and_imported
+    got = export_state_dict(params, cfg)
+    want = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    assert sorted(got) == sorted(want)
+    for k in want:
+        np.testing.assert_array_equal(np.asarray(got[k], np.float32),
+                                      want[k].astype(np.float32), err_msg=k)
+
+
+def test_export_import_checkpoint_roundtrip(tmp_path, ref_and_imported):
+    """run dir -> reference .ckpt -> run dir keeps every weight bit-exact."""
+    from cgat_tpu.tools import import_torch as it
+    from cgat_tpu.training.trainer import CheckpointManager
+
+    ref, cfg, want_params, _, _ = ref_and_imported
+    ckpt = {"state_dict": {**{f"model.{k}": v
+                              for k, v in ref.state_dict().items()},
+                           "mean": torch.tensor([0.25]),
+                           "std": torch.tensor([2.0])},
+            "hyper_parameters": HP, "epoch": 7, "global_step": 123}
+    torch.save(ckpt, tmp_path / "ref.ckpt")
+    run = it.import_checkpoint(str(tmp_path / "ref.ckpt"),
+                               str(tmp_path / "run"))
+    back = it.export_checkpoint(run, str(tmp_path / "back.ckpt"))
+    again = it.import_checkpoint(back, str(tmp_path / "run2"))
+    p1, m1 = CheckpointManager.load(run, tag="best")
+    p2, m2 = CheckpointManager.load(again, tag="best")
+    assert m1["mean"] == m2["mean"] and m1["std"] == m2["std"]
+
+    import jax
+    flat1 = jax.tree_util.tree_flatten_with_path(p1)[0]
+    flat2 = dict(jax.tree_util.tree_flatten_with_path(p2)[0])
+    assert len(flat1) == len(flat2)
+    for path, leaf in flat1:
+        np.testing.assert_array_equal(np.asarray(leaf),
+                                      np.asarray(flat2[path]),
+                                      err_msg=str(path))
