@@ -82,3 +82,44 @@ def get_highest_errors(pool_dir: str, n: int = 25000, *,
     if sample is not None and out_sample:
         save_pickle(sample, out_sample)
     return sample
+
+
+def calculate_gp_uncertainties(ckpt_dir: str, gp_path: str, pool_dir: str, *,
+                               n_shards: int | None = None):
+    """Uncertainty-sampling acquisition: score every pool entry by the GP
+    head's predictive std instead of |error|.
+
+    Goes beyond the reference's error ranking (calculate_errors.py), which
+    needs pool LABELS — predictive uncertainty needs none, so active
+    learning works on genuinely unlabeled candidate pools (score first,
+    compute/label only the selected entries). Writes the same per-shard CSV
+    files, so :func:`get_highest_errors` ranks and absorbs them unchanged.
+    """
+    import jax.numpy as jnp
+
+    from ..data.dataset import load_prepared
+    from ..training.trainer import load_trainer
+    from ..uncertainty.gp import GPConfig, gp_predict_y, load_gp
+
+    trainer, params, _ = load_trainer(ckpt_dir, train=False)
+    gp_params, meta = load_gp(gp_path)
+    cfg = GPConfig(zero_mean=bool(meta.get("zero_mean", False)))
+    for i, p in iter_shards(pool_dir, n_shards):
+        data = load_pickle(p)
+        # the scorer never reads labels; load with whatever target key the
+        # shard happens to carry (unlabeled pools may store a placeholder)
+        tkey = (trainer.cfg.target if trainer.cfg.target in data["target"]
+                else next(iter(data["target"])))
+        graphs = load_prepared(data, fea_path=trainer.cfg.fea_path,
+                               max_neighbor_number=trainer.cfg.max_nbr,
+                               target=tkey)
+        emb = trainer.embeddings(params, graphs)
+        _, var = gp_predict_y(gp_params, jnp.asarray(emb, jnp.float32), cfg)
+        std = np.sqrt(np.asarray(var)) * float(meta.get("std", 1.0))
+        out = error_csv_path(i, pool_dir)
+        os.makedirs(os.path.dirname(out), exist_ok=True)
+        with open(out, "w", newline="") as f:
+            w = csv.writer(f)
+            w.writerow(["batch_ids", "errors"])  # column reused for scores
+            for b, s in zip(entry_ids(data), std):
+                w.writerow([b, float(s)])

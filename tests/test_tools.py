@@ -302,3 +302,59 @@ def test_tsne_cli(tmp_path):
     rows = open(out).read().strip().splitlines()
     assert len(rows) == 31  # header + 30 points
     assert rows[0].startswith("x,y,target")
+
+
+@pytest.mark.slow
+def test_active_learning_gp_uncertainty_acquisition(tmp_path):
+    """GP-std acquisition: rank the pool by SVGP predictive uncertainty on
+    frozen embeddings (label-free) instead of |error|; the round absorbs
+    top-N exactly like the error path."""
+    import csv
+
+    from cgat_tpu.data.featurizer import build_dataset_prepare
+    from cgat_tpu.models import CGATConfig
+    from cgat_tpu.tools.errors import error_csv_path
+    from cgat_tpu.tools.loop import active_learning_round, initial_sample
+    from cgat_tpu.training import TrainerConfig
+
+    rng = np.random.default_rng(17)
+
+    def cubic(i):
+        return {
+            "lattice": np.eye(3) * rng.uniform(3.0, 4.0) * 2,
+            "frac_coords": np.stack(np.meshgrid(*[[0, .5]] * 3,
+                                                indexing="ij"), -1
+                                    ).reshape(-1, 3),
+            "species": [["Na", "Cl", "K", "O"][int(x)]
+                        for x in rng.integers(0, 4, 8)],
+            "data": {"id": f"{i},1",
+                     "e_above_hull": float(rng.random()), "e_form": 0.0},
+        }
+
+    pool = str(tmp_path / "pool")
+    for s in range(2):
+        d = build_dataset_prepare([cubic(s * 10 + j) for j in range(10)],
+                                  max_neighbor_number=6, progress=False)
+        shards.save_pickle(d, shards.shard_path(s, pool))
+
+    al_pool = str(tmp_path / "al")
+    sample_path = str(tmp_path / "sample.pickle.gz")
+    shards.save_pickle(initial_sample(pool, al_pool, 8, seed=1), sample_path)
+
+    tcfg = TrainerConfig(batch_size=4, epochs=2, node_bucket=16, max_nbr=6,
+                         target="e_above_hull", ckpt_dir=str(tmp_path),
+                         run_name="algp", val_size=0.25, test_size=0.25)
+    mcfg = CGATConfig(orig_elem_fea_len=200, elem_fea_len=8, n_graph=1,
+                      nbr_embedding_size=8, neighbor_number=6, msg_heads=2,
+                      n_graph_roost=1, out_hidden=(8,))
+    run_dir, new_sample = active_learning_round(
+        al_pool, sample_path, trainer_cfg=tcfg, model_cfg=mcfg, n_new=4,
+        acquisition="gp_std",
+        gp_kwargs=dict(num_inducing=8, epochs=10, batch_size=8))
+    assert new_sample is not None and len(new_sample["batch_ids"]) == 4
+    assert len(shards.load_pickle(sample_path)["batch_ids"]) == 12
+
+    # the score CSVs hold finite positive predictive stds
+    with open(error_csv_path(0, al_pool), newline="") as f:
+        scores = [float(r["errors"]) for r in csv.DictReader(f)]
+    assert scores and all(np.isfinite(scores)) and all(s > 0 for s in scores)
