@@ -82,6 +82,61 @@ def summarize(out_dir: str) -> dict:
     return results
 
 
+def soup(ckpt_dir: str, out_run: str, *, run_prefix: str = "ens_",
+         tag: str = "best") -> str:
+    """Uniform model soup: average the members' parameters into ONE model
+    (Wortsman et al. 2022, "Model soups") so serving costs 1x instead of Kx.
+
+    Members must share a model configuration; their normalisation mean/std
+    are averaged (they differ only via seed-dependent splits). Returns the
+    new run dir, loadable by cgat-test / cgat-predict / transfer."""
+    import dataclasses
+    import json
+
+    import jax
+
+    from ..training.trainer import CheckpointManager
+
+    members = find_members(ckpt_dir, run_prefix)
+    if len(members) < 2:
+        raise ValueError(f"need >=2 members under {ckpt_dir}/runs "
+                         f"with prefix {run_prefix!r}, found {len(members)}")
+    trees, metas = [], []
+    for m in members:
+        params, meta = CheckpointManager.load(m, tag=tag)
+        trees.append(params)
+        metas.append(meta)
+    mc0 = metas[0]["model_config"]
+    for meta in metas[1:]:
+        if meta["model_config"] != mc0:
+            raise ValueError("members have different model configs; "
+                             "cannot average parameters")
+    n = float(len(trees))
+    avg = jax.tree.map(lambda *xs: sum(np.asarray(x, np.float64)
+                                       for x in xs) / n, *trees)
+    avg = jax.tree.map(lambda x: np.asarray(x, np.float32), avg)
+
+    import orbax.checkpoint as ocp
+    d = os.path.abspath(os.path.join(out_run, "checkpoints"))
+    os.makedirs(d, exist_ok=True)
+    with ocp.PyTreeCheckpointer() as ckptr:
+        ckptr.save(os.path.join(d, "best"),
+                   {"params": avg, "step": np.int32(0), "opt_state": {}},
+                   force=True)
+    meta = {
+        "epoch": 0, "val_mae": float("nan"), "best_val": float("inf"),
+        "plateau": None,
+        "mean": float(np.mean([m["mean"] for m in metas])),
+        "std": float(np.mean([m["std"] for m in metas])),
+        "trainer_config": metas[0]["trainer_config"],
+        "model_config": mc0,
+        "soup_members": [os.path.basename(m) for m in members],
+    }
+    with open(os.path.join(d, "best.json"), "w") as f:
+        json.dump(meta, f, indent=2, default=str)
+    return out_run
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(
         description=__doc__,
@@ -112,6 +167,13 @@ def main(argv=None):
                         help="aggregate member columns into ensemble.csv")
     ps.add_argument("--out-dir", type=str, required=True)
 
+    po = sub.add_parser("soup", help="average members into one model "
+                                     "(uniform model soup)")
+    po.add_argument("--ckpt-dir", type=str, default="tb_logs")
+    po.add_argument("--run-prefix", type=str, default="ens_")
+    po.add_argument("--out-run", type=str, required=True,
+                    help="run dir to create for the averaged model")
+
     args = p.parse_args(argv)
     if args.cmd == "train":
         seeds = args.seeds if args.seeds is not None \
@@ -129,6 +191,9 @@ def main(argv=None):
         ensemble_predict(members, args.data, args.out_dir)
         if args.summarize:
             print(summarize(args.out_dir))
+    elif args.cmd == "soup":
+        out = soup(args.ckpt_dir, args.out_run, run_prefix=args.run_prefix)
+        print(out)
     else:
         print(summarize(args.out_dir))
     return 0

@@ -59,3 +59,25 @@ def test_ensemble_train_predict_summarize(tmp_path):
     m0 = np.loadtxt(os.path.join(ds, "0.txt"))
     m1 = np.loadtxt(os.path.join(ds, "1.txt"))
     np.testing.assert_allclose(rows[:, 0], (m0 + m1) / 2, rtol=1e-6)
+
+    # model soup: average the two members into one servable model
+    soup_run = str(tmp_path / "logs" / "runs" / "soup")
+    rc = ensemble.main(["soup", "--ckpt-dir", ckpt_dir,
+                        "--out-run", soup_run])
+    assert rc == 0
+    from cgat_tpu.training.trainer import CheckpointManager, load_trainer
+    p_soup, meta = CheckpointManager.load(soup_run, tag="best")
+    assert meta["soup_members"] == ["ens_f-0", "ens_f-1"]
+    p0, _ = CheckpointManager.load(members[0], tag="best")
+    p1, _ = CheckpointManager.load(members[1], tag="best")
+    np.testing.assert_allclose(
+        np.asarray(p_soup["embedding"]["kernel"]),
+        (np.asarray(p0["embedding"]["kernel"])
+         + np.asarray(p1["embedding"]["kernel"])) / 2, rtol=1e-6)
+    # the averaged model predicts finitely through the normal load path
+    from cgat_tpu.data.dataset import load_prepared
+    trainer, params, _ = load_trainer(soup_run, train=False)
+    graphs = load_prepared(prepared, max_neighbor_number=6,
+                           target="e_above_hull")
+    preds = trainer.predict(params, graphs)
+    assert np.all(np.isfinite(preds))
