@@ -159,7 +159,14 @@ def main():
     # synchronous-execution mode up front and read a metric after every timed
     # loop so the chain really ran.
     _ = float(jnp.sum(jnp.ones((4,))))
-    r64 = measure(64)
+    try:
+        r64 = measure(64)
+    except Exception as e:  # transient tunnel flake: one retry after a pause
+        import sys
+        print(f"headline measure failed ({type(e).__name__}), retrying...",
+              file=sys.stderr, flush=True)
+        time.sleep(30)
+        r64 = measure(64)
     extras = {}
     for key, kwargs in (
             ("edges_per_sec_f32", dict(batch_size=64, compute_dtype="float32",
