@@ -204,15 +204,22 @@ def params_from_state_dict(state_dict: dict, cfg) -> tuple[dict, float, float]:
         "embedding": {"kernel": _t(sd.pop("embedding.weight"))},
         "nbr_embedding": {"embedding": _np(sd.pop("nbr_embedding.weight"))},
     }
+    if not cfg.update_edges:
+        # the reference's update_edges=False branch constructs GATConvNodes
+        # with positionally broken args (out_channels <- nbr_embedding_size,
+        # heads <- 1; CGAT.py:406-425) — this framework deliberately rebuilds
+        # that branch sanely (PARITY.md deviation 3), so such checkpoints
+        # have no faithful parameter mapping here.
+        raise ValueError(
+            "cannot import an update_edges=False reference checkpoint: the "
+            "reference's node-only branch is built with positionally broken "
+            "arguments (CGAT.py:406-425) that this framework intentionally "
+            "does not reproduce")
     for i in range(cfg.n_graph):
-        if cfg.update_edges:
-            params[f"graph_{i}_Node"] = _gat_conv(sd, f"graphs.{i}.Node",
-                                                  cfg.msg_heads)
-            params[f"graph_{i}_Edge"] = _gat_conv(sd, f"graphs.{i}.Edge",
-                                                  cfg.msg_heads)
-        else:
-            params[f"graph_{i}_Node"] = _gat_conv(sd, f"graphs.{i}",
-                                                  cfg.msg_heads)
+        params[f"graph_{i}_Node"] = _gat_conv(sd, f"graphs.{i}.Node",
+                                              cfg.msg_heads)
+        params[f"graph_{i}_Edge"] = _gat_conv(sd, f"graphs.{i}.Edge",
+                                              cfg.msg_heads)
     params["roost"] = _roost(sd)
     params["cry_pool"] = _gat_conv_mh_only(sd, "cry_pool", cfg.msg_heads)
     params["output_nn"] = _residual(sd, "output_nn")
@@ -371,14 +378,16 @@ def export_state_dict(params: dict, cfg) -> dict:
         if "Pooling_NN" in ours:
             pooling(ours["Pooling_NN"], f"{ref}.Pooling_NN")
 
+    if not cfg.update_edges:
+        raise ValueError(
+            "cannot export an update_edges=False model to the reference "
+            "format: the reference's node-only branch differs structurally "
+            "(CGAT.py:406-425; PARITY.md deviation 3)")
     linear(params["embedding"], "embedding")
     sd["nbr_embedding.weight"] = _np(params["nbr_embedding"]["embedding"])
     for i in range(cfg.n_graph):
-        if cfg.update_edges:
-            gat(params[f"graph_{i}_Node"], f"graphs.{i}.Node")
-            gat(params[f"graph_{i}_Edge"], f"graphs.{i}.Edge")
-        else:
-            gat(params[f"graph_{i}_Node"], f"graphs.{i}")
+        gat(params[f"graph_{i}_Node"], f"graphs.{i}.Node")
+        gat(params[f"graph_{i}_Edge"], f"graphs.{i}.Edge")
     roost = params["roost"]
     linear(roost["embedding"], "roost.embedding")
     i = 0

@@ -385,3 +385,19 @@ def test_export_import_checkpoint_roundtrip(tmp_path, ref_and_imported):
         np.testing.assert_array_equal(np.asarray(leaf),
                                       np.asarray(flat2[path]),
                                       err_msg=str(path))
+
+
+def test_update_edges_false_refused(ref_and_imported):
+    """The reference's update_edges=False branch is structurally broken
+    (CGAT.py:406-425) and intentionally not importable/exportable."""
+    import dataclasses
+
+    from cgat_tpu.tools.import_torch import export_state_dict
+
+    ref, cfg, params, _, _ = ref_and_imported
+    cfg_ne = dataclasses.replace(cfg, update_edges=False)
+    sd = {f"model.{k}": v for k, v in ref.state_dict().items()}
+    with pytest.raises(ValueError, match="update_edges=False"):
+        params_from_state_dict(sd, cfg_ne)
+    with pytest.raises(ValueError, match="update_edges=False"):
+        export_state_dict(params, cfg_ne)
