@@ -23,13 +23,17 @@ def main(argv=None):
     p.add_argument("--max-nbr", type=int, default=24)
     p.add_argument("--targets", nargs="+",
                    default=["e_above_hull", "e_form"])
+    p.add_argument("--cache-dir", default=None,
+                   help="incremental featurisation cache directory: repeat "
+                        "runs over overlapping structure sets (AL rounds) "
+                        "skip the neighbor search for known structures")
     args = p.parse_args(argv)
 
     from ..data.featurizer import build_dataset_prepare
     out = build_dataset_prepare(
         os.path.join(args.source_dir, args.file),
         target_property=tuple(args.targets), radius=args.radius,
-        max_neighbor_number=args.max_nbr)
+        max_neighbor_number=args.max_nbr, cache=args.cache_dir)
     name = args.target_file or os.path.basename(args.file)
     path = os.path.join(args.target_dir, name)
     with gzip.open(path, "wb") as f:

@@ -18,6 +18,8 @@ A C++ native kernel accelerates the neighbor search when built
 from __future__ import annotations
 
 import gzip
+import hashlib
+import os
 import pickle
 import warnings
 from typing import Sequence
@@ -105,6 +107,103 @@ def periodic_neighbors(lattice, frac_coords, *, radius: float = 18.0,
         r = min(radius, r * 1.6)
 
 
+# -------------------------------------------------------- featurisation cache
+
+class FeaturizationCache:
+    """Incremental disk cache of periodic-kNN results for AL rounds.
+
+    Active-learning workflows re-featurise overlapping structure sets round
+    after round (the reference re-runs ``prepare`` over every new prototype
+    batch, Utilities/get_additional_data.py:23-39). The neighbor search is the
+    only expensive part of featurisation, and it depends solely on the
+    geometry — so results are cached on disk keyed by a content hash of
+    ``(lattice, frac_coords, n_atoms, radius, max_nbr)``. Targets, ids and
+    compositions are cheap and never cached, so annotation changes between
+    rounds do not invalidate entries.
+
+    Layout: one ``.npz`` per structure under ``path/ab/<hash>.npz`` (two-hex
+    fanout). Entries record one of three kinds: a complete ``max_nbr``-NN
+    result, a rejection marker (<``max_nbr`` neighbors within the radius), or
+    a ragged result (rejection + the legacy variable-degree lists, appended
+    lazily when an ``allow_incomplete`` caller needs them).
+    """
+
+    def __init__(self, path: str):
+        self.path = path
+        os.makedirs(path, exist_ok=True)
+        self.hits = 0
+        self.misses = 0
+
+    def key(self, lattice, frac_coords, radius: float, max_nbr: int) -> str:
+        h = hashlib.sha1()
+        h.update(np.ascontiguousarray(lattice, np.float64).tobytes())
+        h.update(np.ascontiguousarray(frac_coords, np.float64).tobytes())
+        h.update(f"|{len(frac_coords)}|{radius!r}|{max_nbr}".encode())
+        return h.hexdigest()
+
+    def _file(self, key: str) -> str:
+        return os.path.join(self.path, key[:2], key[2:] + ".npz")
+
+    def _load(self, key: str):
+        try:
+            with np.load(self._file(key)) as z:
+                return dict(z)
+        except (FileNotFoundError, OSError, ValueError, EOFError):
+            return None  # absent or torn write: treat as a miss
+
+    def _store(self, key: str, payload: dict):
+        file = self._file(key)
+        os.makedirs(os.path.dirname(file), exist_ok=True)
+        tmp = file + f".tmp{os.getpid()}"
+        with open(tmp, "wb") as f:
+            np.savez(f, **payload)
+        os.replace(tmp, file)  # atomic: concurrent preparers see whole files
+
+    def get(self, key: str, *, ragged: bool = False):
+        """Tagged hit or miss:
+        ``("knn", nbr_idx, shells)`` for a complete result;
+        ``("rejected",)`` for a cached rejection (when the ragged lists are
+        not needed or not cached yet); ``("ragged", nbr_lists, shell_lists)``
+        when ``ragged`` and the legacy lists are cached; ``None`` on miss."""
+        z = self._load(key)
+        if z is None:
+            self.misses += 1
+            return None
+        kind = str(z["kind"])
+        if kind == "knn":
+            self.hits += 1
+            return ("knn", z["nbr_idx"].astype(np.int64),
+                    z["shells"].astype(np.int64))
+        if ragged:
+            if "ragged_nbr" not in z:
+                self.misses += 1
+                return None
+            self.hits += 1
+            splits = np.cumsum(z["ragged_counts"])[:-1]
+            return ("ragged", np.split(z["ragged_nbr"], splits),
+                    np.split(z["ragged_shells"], splits))
+        self.hits += 1
+        return ("rejected",)
+
+    def put(self, key: str, nbr_idx, shells):
+        self._store(key, {"kind": "knn",
+                          "nbr_idx": np.asarray(nbr_idx, np.int32),
+                          "shells": np.asarray(shells, np.int32)})
+
+    def put_rejected(self, key: str, ragged_nbr=None, ragged_shells=None):
+        payload = {"kind": "reject"}
+        if ragged_nbr is not None:
+            payload.update(
+                ragged_counts=np.asarray([len(a) for a in ragged_nbr],
+                                         np.int64),
+                ragged_nbr=(np.concatenate(ragged_nbr) if len(ragged_nbr)
+                            else np.zeros(0, np.int64)).astype(np.int64),
+                ragged_shells=(np.concatenate(ragged_shells)
+                               if len(ragged_shells)
+                               else np.zeros(0, np.int64)).astype(np.int64))
+        self._store(key, payload)
+
+
 # --------------------------------------------------------------- featurising
 
 def _to_structure_dict(entry):
@@ -162,12 +261,14 @@ def periodic_neighbors_ragged(lattice, frac_coords, *, radius: float = 18.0,
 
 def featurise_entry(entry, *, radius: float = 18.0, max_nbr: int = 24,
                     target_property: Sequence[str] = ("e_above_hull", "e_form"),
-                    allow_incomplete: bool = False):
+                    allow_incomplete: bool = False,
+                    cache: FeaturizationCache | None = None):
     """One entry -> (shell, self_idx, nbr_idx, elements, targets, comp, id)
     or None when rejected. Targets are stored per-atom
     (prepare_data.py:139). With ``allow_incomplete`` crystals lacking
     ``max_nbr`` neighbors keep shorter (ragged) edge lists instead of being
-    rejected (legacy test_prepare_data.py behaviour)."""
+    rejected (legacy test_prepare_data.py behaviour). ``cache`` skips the
+    neighbor search for structures featurised in an earlier round."""
     s = _to_structure_dict(entry)
     species = list(s["species"])
     n = len(species)
@@ -182,13 +283,34 @@ def featurise_entry(entry, *, radius: float = 18.0, max_nbr: int = 24,
             warnings.warn("no target property")
             targets[name] = -1e8
 
-    res = periodic_neighbors(s["lattice"], s["frac_coords"],
-                             radius=radius, max_nbr=max_nbr)
+    key = (cache.key(s["lattice"], s["frac_coords"], radius, max_nbr)
+           if cache is not None else None)
+    hit = (cache.get(key, ragged=allow_incomplete)
+           if cache is not None else None)
+    nbr_l = shell_l = None
+    if hit is not None and hit[0] == "knn":
+        _, nbr_idx, shells = hit
+        res = (nbr_idx, shells)
+    elif hit is not None and hit[0] == "ragged":
+        _, nbr_l, shell_l = hit
+        res = None
+    elif hit is not None:  # cached rejection, ragged lists not needed
+        res = None
+    else:
+        res = periodic_neighbors(s["lattice"], s["frac_coords"],
+                                 radius=radius, max_nbr=max_nbr)
+        if res is not None:
+            res = res[:2]
+            if cache is not None:
+                cache.put(key, *res)
     if res is None:
         if allow_incomplete:
-            nbr_l, shell_l, _ = periodic_neighbors_ragged(
-                s["lattice"], s["frac_coords"], radius=radius,
-                max_nbr=max_nbr)
+            if nbr_l is None:
+                nbr_l, shell_l, _ = periodic_neighbors_ragged(
+                    s["lattice"], s["frac_coords"], radius=radius,
+                    max_nbr=max_nbr)
+                if cache is not None:
+                    cache.put_rejected(key, nbr_l, shell_l)
             self_l = [np.full(len(nb), i, np.int64)
                       for i, nb in enumerate(nbr_l)]
             # ragged object arrays (legacy layout: lists per atom)
@@ -198,11 +320,13 @@ def featurise_entry(entry, *, radius: float = 18.0, max_nbr: int = 24,
             comp = s.get("composition", " ".join(
                 f"{el}{c}" for el, c in _count(species).items()))
             return shells, self_idx, nbr_idx, species, targets, comp, cry_id
+        if cache is not None and hit is None:
+            cache.put_rejected(key)
         warnings.warn(
             f"{cry_id} does not contain enough neighbors in the cutoff; "
             "compound is not added to the feature set")
         return None
-    nbr_idx, shells, _ = res
+    nbr_idx, shells = res
     self_idx = np.repeat(np.arange(n)[:, None], max_nbr, axis=1)
     # pymatgen formula format: space-separated "Na1 Cl1"
     comp = s.get("composition", " ".join(
@@ -220,12 +344,17 @@ def _count(species):
 def build_dataset_prepare(data, *, target_property=("e_above_hull", "e_form"),
                           radius: float = 18.0, fea_path: str | None = None,
                           max_neighbor_number: int = 24,
-                          drop_unaries: bool = False, progress: bool = True):
+                          drop_unaries: bool = False, progress: bool = True,
+                          cache: FeaturizationCache | str | None = None):
     """Featurise a list (or gzipped pickle path) of structure entries into the
     reference's prepared-dict schema (prepare_data.py:14-98):
     ``{'input' (3, n) object rows [shell, self_idx, nbr_idx], 'batch_ids',
     'batch_comp', 'target' {name: [per-atom values]}, 'comps'}``.
+    ``cache`` (a :class:`FeaturizationCache` or its directory path) makes
+    repeat featurisation of overlapping structure sets incremental.
     """
+    if isinstance(cache, str):
+        cache = FeaturizationCache(cache)
     if isinstance(data, str):
         with gzip.open(data, "rb") as f:
             data = pickle.load(f)
@@ -241,7 +370,7 @@ def build_dataset_prepare(data, *, target_property=("e_above_hull", "e_form"),
     target_l = {name: [] for name in target_property}
     for entry in it:
         out = featurise_entry(entry, radius=radius, max_nbr=max_neighbor_number,
-                              target_property=target_property)
+                              target_property=target_property, cache=cache)
         if out is None:
             continue
         shells, self_idx, nbr_idx, species, targets, comp, cry_id = out
@@ -274,15 +403,19 @@ def build_dataset_prepare(data, *, target_property=("e_above_hull", "e_form"),
 def prepare_graphs(entries, *, featuriser: Featuriser | None = None,
                    fea_path: str | None = None, target: str = "e_above_hull",
                    radius: float = 18.0, max_nbr: int = 24,
-                   allow_incomplete: bool = False):
+                   allow_incomplete: bool = False,
+                   cache: FeaturizationCache | str | None = None):
     """Directly featurise entries into CrystalGraph records (skips the
     intermediate pickle; convenience path for in-memory pipelines)."""
+    if isinstance(cache, str):
+        cache = FeaturizationCache(cache)
     feat = featuriser or load_featuriser(fea_path)
     graphs = []
     for entry in entries:
         out = featurise_entry(entry, radius=radius, max_nbr=max_nbr,
                               target_property=(target,),
-                              allow_incomplete=allow_incomplete)
+                              allow_incomplete=allow_incomplete,
+                              cache=cache)
         if out is None:
             continue
         shells, self_idx, nbr_idx, species, targets, comp, cry_id = out

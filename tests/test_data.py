@@ -171,6 +171,69 @@ def test_allow_incomplete_ragged_featurisation():
     assert np.all(g.edge_shell >= 1)
 
 
+def test_featurization_cache_incremental(tmp_path, monkeypatch):
+    """Second featurisation of overlapping structures skips the neighbor
+    search entirely (AL rounds re-prepare overlapping sets round over round);
+    cached output is identical, including rejections and ragged results."""
+    import cgat_tpu.data.featurizer as fz
+    from cgat_tpu.data.featurizer import FeaturizationCache
+
+    entries = [simple_cubic(3.0, 2, ("Na", "Cl"), target=-8.0),
+               simple_cubic(2.5, 2, ("K", "O"), target=-16.0)]
+    sparse = simple_cubic(a=30.0)
+    sparse["frac_coords"] = np.asarray([[0, 0, 0], [0.01, 0, 0]])
+    sparse["species"] = ["Na", "Cl"]
+
+    cache_dir = str(tmp_path / "fcache")
+    cold = build_dataset_prepare(entries + [sparse], progress=False,
+                                 max_neighbor_number=24, cache=cache_dir)
+    plain = build_dataset_prepare(entries + [sparse], progress=False,
+                                  max_neighbor_number=24)
+
+    # warm pass: the search must never run again
+    def _boom(*a, **k):
+        raise AssertionError("neighbor search ran on a cached structure")
+    monkeypatch.setattr(fz, "periodic_neighbors", _boom)
+    monkeypatch.setattr(fz, "periodic_neighbors_ragged", _boom)
+    cache = FeaturizationCache(cache_dir)
+    warm = build_dataset_prepare(entries + [sparse], progress=False,
+                                 max_neighbor_number=24, cache=cache)
+    assert cache.hits == 3 and cache.misses == 0
+    for d in (cold, warm):
+        assert d["batch_ids"] == plain["batch_ids"]
+        for row in range(3):
+            for i in range(len(plain["batch_ids"])):
+                np.testing.assert_array_equal(d["input"][row, i],
+                                              plain["input"][row, i])
+
+    # ragged results cache lazily on first allow_incomplete use...
+    monkeypatch.undo()
+    g_plain = prepare_graphs([sparse], featuriser=featuriser16(),
+                             target="e_above_hull", max_nbr=24,
+                             allow_incomplete=True)
+    g_cold = prepare_graphs([sparse], featuriser=featuriser16(),
+                            target="e_above_hull", max_nbr=24,
+                            allow_incomplete=True, cache=cache_dir)
+    # ...and then replay without any search
+    monkeypatch.setattr(fz, "periodic_neighbors", _boom)
+    monkeypatch.setattr(fz, "periodic_neighbors_ragged", _boom)
+    g_warm = prepare_graphs([sparse], featuriser=featuriser16(),
+                            target="e_above_hull", max_nbr=24,
+                            allow_incomplete=True, cache=cache_dir)
+    for g in (g_cold[0], g_warm[0]):
+        np.testing.assert_array_equal(g.edge_src, g_plain[0].edge_src)
+        np.testing.assert_array_equal(g.edge_dst, g_plain[0].edge_dst)
+        np.testing.assert_array_equal(g.edge_shell, g_plain[0].edge_shell)
+
+    # different geometry/params = different key: no false hits
+    c = FeaturizationCache(cache_dir)
+    s = entries[0]
+    k1 = c.key(s["lattice"], s["frac_coords"], 18.0, 24)
+    assert c.key(s["lattice"] * 1.001, s["frac_coords"], 18.0, 24) != k1
+    assert c.key(s["lattice"], s["frac_coords"], 18.0, 12) != k1
+    assert c.get(c.key(s["lattice"], s["frac_coords"], 17.0, 24)) is None
+
+
 def test_edge_slot_sizing_and_invariance():
     """Edge slots size to real edges (biggest padding-waste lever), never to
     N*max_nbr on sparse graphs — and the model output is invariant to the
