@@ -96,6 +96,12 @@ class TrainerConfig:
     # model plug-in: import this module and use its CGAtNet class, like the
     # reference's --version dynamic import (lightning_module.py:161-176)
     version: str = ""
+    # concatenate tiny parameter leaves into one vector for the optimizer
+    # apply (bit-exact for elementwise optimizers; training/flatten.py).
+    # Default OFF: standalone the apply is 1.9x faster, but inside the real
+    # train step the concat barriers on every grad and costs ~2 ms of
+    # backward/apply overlap (measured on-chip, docs/PERFORMANCE.md)
+    flat_optimizer: bool = False
     # parallelism
     n_devices: int = 1              # data-parallel devices (1 = single chip)
     edge_shards: int = 1            # edge-partition shards per replica
@@ -125,7 +131,16 @@ def make_optimizer(cfg: TrainerConfig, params=None):
             return lamb(learning_rate, weight_decay=cfg.weight_decay)
         raise NameError("Only SGD, Adam, AdamW, LAMB are allowed as optim")
 
-    tx = optax.inject_hyperparams(base)(learning_rate=cfg.learning_rate)
+    # pin the injected lr's dtype: inject_hyperparams otherwise casts it to
+    # the first leaf's dtype, which under flatten_small can be a bf16 group
+    tx = optax.inject_hyperparams(base, hyperparam_dtype=jnp.float32)(
+        learning_rate=cfg.learning_rate)
+    if cfg.flat_optimizer and cfg.optim != "LAMB" and not cfg.only_residual:
+        # collapse the ~300 tiny-leaf update fusions into one (bit-exact for
+        # these elementwise optimizers; LAMB's per-tensor trust ratio and the
+        # only_residual label mapping both need the original tree)
+        from .flatten import flatten_small
+        tx = flatten_small(tx)
     if cfg.only_residual:
         # transfer learning: train only the output head; every other subtree
         # gets zero updates (lightning_module.py:314-316, CGAT.py:605-606)

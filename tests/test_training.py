@@ -85,6 +85,51 @@ def test_set_learning_rate_all_optimizers():
             set_learning_rate(st, 0.5)  # must find the injected hyperparam
 
 
+def test_flat_optimizer_bit_exact(rng):
+    """flatten_small collapses the tiny-leaf fusions without changing a bit
+    of the trajectory (elementwise optimizers only); roundtrip identity."""
+    from cgat_tpu.training.flatten import flatten_small, from_inner, to_inner
+
+    params = {
+        "big": jnp.asarray(rng.standard_normal((64, 33)), jnp.float32),
+        "mid": {"w": jnp.asarray(rng.standard_normal((7, 5)), jnp.float32),
+                "b": jnp.asarray(rng.standard_normal(5), jnp.float32)},
+        "scalar": jnp.asarray(0.3, jnp.float32),
+        "half": jnp.asarray(rng.standard_normal(9), jnp.bfloat16),
+    }
+    inner = to_inner(params, max_elems=64)
+    assert len(inner["big"]) == 1  # only the (64,33) leaf stays
+    back = from_inner(inner, params, max_elems=64)
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(back)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    grads = jax.tree.map(
+        lambda p: jnp.asarray(
+            np.random.default_rng(1).standard_normal(p.shape), p.dtype),
+        params)
+    for optim in ("SGD", "Adam", "AdamW"):
+        tx_p = make_optimizer(TrainerConfig(optim=optim, weight_decay=1e-4,
+                                            flat_optimizer=False))
+        tx_f = make_optimizer(TrainerConfig(optim=optim, weight_decay=1e-4,
+                                            flat_optimizer=True))
+        # the default threshold keeps every leaf here "small": exercise the
+        # all-flat edge; the prototype measured the real 375-leaf tree
+        p_p, s_p = params, tx_p.init(params)
+        p_f, s_f = params, tx_f.init(params)
+        for _ in range(5):
+            u, s_p = tx_p.update(grads, s_p, p_p)
+            p_p = optax.apply_updates(p_p, u)
+            u, s_f = tx_f.update(grads, s_f, p_f)
+            p_f = optax.apply_updates(p_f, u)
+        for a, b in zip(jax.tree.leaves(p_p), jax.tree.leaves(p_f)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # LAMB must NOT be flattened (per-tensor trust ratio)
+    tx_l = make_optimizer(TrainerConfig(optim="LAMB", flat_optimizer=True))
+    st = tx_l.init(params)
+    u, _ = tx_l.update(grads, st, params)
+    assert jax.tree.structure(u) == jax.tree.structure(params)
+
+
 def make_trainer(**overrides):
     graphs = random_graphs(0, 24, n_atoms_range=(3, 6), max_nbr=4,
                            orig_fea=16)
