@@ -7,8 +7,14 @@ multi-node DDP launch (reference CGAT/train.py:100-104). ``run`` is also
 imported by the test and executed single-process (8 devices) to produce the
 trajectory the 2-process run must reproduce.
 """
+import os
 import pickle
 import sys
+
+# When launched as a subprocess, python puts tests/ (the script dir) on
+# sys.path, not the repo root — so cgat_tpu resolves only if the package is
+# pip-installed. Make the worker self-sufficient on a bare checkout.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 
