@@ -52,14 +52,19 @@ def element_correlation(element_sets: Iterable[set[int]],
 def element_distribution(corr: np.ndarray, cap: float = 150.0):
     """Inverse-mean-correlation sampling weights
     (Utilities/sample.py:123-126)."""
-    y = corr.mean(axis=0)
-    hist = [min(cap, v) for v in np.where(y > 1e-3, 1.0 / np.where(y > 0, y, 1.0),
-                                          np.zeros_like(y))]
+    hist = element_weights(corr, cap)
 
     def f(z_index):
         return hist[int(z_index)]
 
     return f
+
+
+def element_weights(corr: np.ndarray, cap: float = 150.0) -> np.ndarray:
+    """Inverse-mean-correlation weights as an array indexed by z-1."""
+    y = corr.mean(axis=0)
+    inv = np.where(y > 1e-3, 1.0 / np.where(y > 0, y, 1.0), np.zeros_like(y))
+    return np.minimum(cap, inv)
 
 
 def scan_pool(pool_dir: str, exclude_ids: set[str] | None = None,
@@ -92,10 +97,8 @@ def metropolis_sample(batch_ids, element_sets, stoich, n: int,
     correlation distribution, pick an unused compound containing each drawn
     element, skipping duplicate stoichiometries
     (Utilities/sample.py:148-180)."""
-    random.seed(seed)
     corr = element_correlation(element_sets, max_z)
-    dist = element_distribution(corr)
-    chain = MarkovChain(dist, lambda: random.randint(0, max_z - 1))
+    chain = MarkovChain.discrete(element_weights(corr), seed=seed)
 
     ids = list(batch_ids)
     els = [set(e) for e in element_sets]

@@ -35,15 +35,39 @@ def make_prepared(n, id_offset=0, seed=0):
 
 
 def test_markov_chain_matches_distribution():
-    import random
-    random.seed(0)
     chain = MarkovChain(lambda x: 1.0 if x > 0.5 else 0.25,
-                        lambda: random.random())
+                        lambda rng: rng.random(), seed=0)
     chain.step(5000)
     arr = np.asarray(chain.chain)
     frac_high = np.mean(arr > 0.5)
     # equal-width regions with 1:0.25 density -> stationary high mass = 0.8
     assert 0.75 < frac_high < 0.85
+    # proposals from U(0,1) into a bimodal 1:0.25 target accept often
+    assert chain.acceptance_rate > 0.5
+
+
+def test_markov_chain_discrete_stationary():
+    w = np.array([0.0, 1.0, 3.0, 6.0])
+    chain = MarkovChain.discrete(w, seed=3).step(20000)
+    arr = chain.chain
+    assert not np.any(arr == 0)          # zero-mass state never visited
+    freq = np.bincount(arr, minlength=4) / arr.size
+    np.testing.assert_allclose(freq, w / w.sum(), atol=0.02)
+
+
+def test_markov_chain_seed_reproducible():
+    a = MarkovChain.discrete([1.0, 2.0, 3.0], seed=7).step(100).chain
+    b = MarkovChain.discrete([1.0, 2.0, 3.0], seed=7).step(100).chain
+    np.testing.assert_array_equal(a, b)
+    assert len(a) == 101
+
+
+def test_markov_chain_rejects_empty_target():
+    with pytest.raises(ValueError):
+        MarkovChain.discrete([0.0, 0.0])
+    with pytest.raises(ValueError):
+        MarkovChain(lambda x: 0.0, lambda rng: rng.random(),
+                    max_init_tries=10)
 
 
 def test_symbol_to_z():
