@@ -48,6 +48,20 @@ class CrystalBatch:
     # targets
     target: jnp.ndarray       # f32 (C,) training target (already y = per-atom * n_atoms)
     graph_mask: jnp.ndarray   # bool (C,)
+    # edge-partition halo structure (only when collated with edge_shards > 1;
+    # None otherwise). Shapes use S = edge_shards, H = halo slots per
+    # (owner, destination) shard pair, n_loc = N / S local nodes per shard.
+    # Per-edge source index into [local nodes | received halo rows]: local
+    # sources map to (src - s*n_loc), remote sources to
+    # n_loc + owner*H + position in the owner's send list for this shard.
+    edge_src_ext: jnp.ndarray | None = None   # i32 (E,)
+    # Send table, owner-major: rows [s*S:(s+1)*S] belong to shard s; row
+    # s*S + d holds the LOCAL indices of the boundary nodes shard s sends to
+    # shard d (sorted by global id, padded with n_loc - 1). An
+    # ``all_to_all`` of ``x[halo_send_idx]`` delivers exactly the boundary
+    # features each shard needs — comm per layer is O(S*H*F), proportional
+    # to the partition boundary, not O(N*F) like a full all_gather.
+    halo_send_idx: jnp.ndarray | None = None  # i32 (S*S, H)
 
     @property
     def num_node_slots(self) -> int:
@@ -104,6 +118,79 @@ def edge_shard_counts(graphs: Sequence["CrystalGraph"],
     return counts
 
 
+def halo_pair_max(graphs: Sequence["CrystalGraph"],
+                  num_node_slots: int, edge_shards: int) -> int:
+    """Largest per-(destination, owner) boundary-node count for a
+    prospective collate of ``graphs`` (used to pick a static halo capacity
+    shared across a stacked group before building the batches)."""
+    S = edge_shards
+    n_loc = num_node_slots // S
+    src_l, dst_l, base = [], [], 0
+    for g in graphs:
+        src_l.append(g.edge_src.astype(np.int64) + base)
+        dst_l.append(g.edge_dst.astype(np.int64) + base)
+        base += g.n_atoms
+    if not src_l:
+        return 0
+    src = np.concatenate(src_l)
+    dst = np.concatenate(dst_l)
+    dest_shard = dst // n_loc
+    owner = src // n_loc
+    worst = 0
+    for s in range(S):
+        m = dest_shard == s
+        for j in range(S):
+            if j == s:
+                continue
+            worst = max(worst, len(np.unique(src[m & (owner == j)])))
+    return worst
+
+
+def _halo_layout(edge_src, n_loc, S, cap, halo_slots):
+    """Boundary (halo) exchange structure for an edge-sharded batch.
+
+    Returns (edge_src_ext (E,), halo_send_idx (S*S, H), H). See
+    :class:`CrystalBatch` for the layout contract.
+    """
+    E = S * cap
+    need = [[None] * S for _ in range(S)]
+    for s in range(S):
+        gsrc = edge_src[s * cap:(s + 1) * cap].astype(np.int64)
+        owner = gsrc // n_loc
+        for j in range(S):
+            if j != s:
+                need[s][j] = np.unique(gsrc[owner == j])
+    worst = max((len(need[s][j]) for s in range(S) for j in range(S)
+                 if j != s), default=0)
+    H = halo_slots if halo_slots is not None else max(8, _round_up(worst, 8))
+    assert worst <= H, f"halo overflow: {worst} boundary nodes > {H} slots"
+
+    src_ext = np.empty((E,), np.int32)
+    for s in range(S):
+        blk = slice(s * cap, (s + 1) * cap)
+        gsrc = edge_src[blk].astype(np.int64)
+        owner = gsrc // n_loc
+        ext = np.empty((cap,), np.int64)
+        local_m = owner == s
+        ext[local_m] = gsrc[local_m] - s * n_loc
+        for j in range(S):
+            if j == s:
+                continue
+            m = owner == j
+            if m.any():
+                ext[m] = n_loc + j * H + np.searchsorted(need[s][j], gsrc[m])
+        src_ext[blk] = ext
+
+    halo_send = np.full((S * S, H), n_loc - 1, np.int32)
+    for d in range(S):
+        for j in range(S):
+            if j == d:
+                continue
+            ids = need[d][j]
+            halo_send[j * S + d, :len(ids)] = ids - j * n_loc
+    return src_ext, halo_send, H
+
+
 def collate(graphs: Sequence[CrystalGraph],
             *,
             num_graphs: int | None = None,
@@ -115,7 +202,8 @@ def collate(graphs: Sequence[CrystalGraph],
             edge_shards: int = 1,
             edge_slots_per_shard: int | None = None,
             num_edge_slots: int | None = None,
-            max_degree: int | None = None) -> CrystalBatch:
+            max_degree: int | None = None,
+            halo_slots: int | None = None) -> CrystalBatch:
     """Build a static-shape :class:`CrystalBatch` from host graphs.
 
     Mirrors the index-offsetting of the reference collate fns
@@ -226,7 +314,10 @@ def collate(graphs: Sequence[CrystalGraph],
             edge_dst[s * cap:s * cap + c] = dst[starts[s]:bounds[s]]
             edge_shell[s * cap:s * cap + c] = shell[starts[s]:bounds[s]]
             edge_mask[s * cap:s * cap + c] = True
+        edge_src_ext, halo_send_idx, _ = _halo_layout(
+            edge_src, n_loc, S, cap, halo_slots)
     else:
+        edge_src_ext = halo_send_idx = None
         edge_src = np.full((E,), N - 1, np.int32)
         edge_dst = np.full((E,), N - 1, np.int32)
         edge_shell = np.zeros((E,), np.int32)
@@ -251,4 +342,8 @@ def collate(graphs: Sequence[CrystalGraph],
         comp_mask=jnp.asarray(comp_mask),
         target=jnp.asarray(target),
         graph_mask=jnp.asarray(graph_mask),
+        edge_src_ext=(None if edge_src_ext is None
+                      else jnp.asarray(edge_src_ext)),
+        halo_send_idx=(None if halo_send_idx is None
+                       else jnp.asarray(halo_send_idx)),
     )

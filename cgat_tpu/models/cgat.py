@@ -97,20 +97,21 @@ class GATConvNodes(nn.Module):
 
     @nn.compact
     def __call__(self, x, edge_src, edge_dst, edge_attr, x_0, edge_mask,
-                 *, deterministic=True, x_full=None, dst_local=None):
+                 *, deterministic=True, x_src_table=None):
         """Edge-sharded mode (inside a ``shard_map`` over an edge axis):
-        ``x``/``x_0`` are the LOCAL node slice, ``x_full`` the all-gathered
-        node features for the src/dst gathers, and ``dst_local`` the
-        destination ids shifted into the local slice — aggregation then needs
-        no cross-shard scatter (the collate layout guarantees every local
-        edge's dst lies in the local slice)."""
+        ``x``/``x_0`` are the LOCAL node slice, ``edge_dst`` the destination
+        ids shifted into the local slice (the collate layout guarantees every
+        local edge's dst lies there, so aggregation needs no cross-shard
+        scatter), and ``edge_src``/``x_src_table`` the extended-local source
+        ids into [local nodes | halo rows] — only boundary features crossed
+        the ICI (models.cgat.CGAtNet halo exchange)."""
         num_nodes = x.shape[0]
-        gather_x = x if x_full is None else x_full
-        dst_l = edge_dst if dst_local is None else dst_local
+        src_table = x if x_src_table is None else x_src_table
+        dst_l = edge_dst
         cat_dim = 2 * self.in_channels + self.nbr_channels
         hidden = int(cat_dim / 1.5)
-        m_cat = jnp.concatenate([gather_x[edge_dst], edge_attr,
-                                 gather_x[edge_src]], axis=-1)
+        m_cat = jnp.concatenate([x[edge_dst], edge_attr,
+                                 src_table[edge_src]], axis=-1)
         alpha = MultiHeadNetwork(
             cat_dim, self.out_channels if self.vector_attention else 1,
             hidden, self.heads, dtype=self.dtype, name="MH_A")(m_cat)
@@ -157,7 +158,7 @@ class GATConvEdges(nn.Module):
 
     @nn.compact
     def __call__(self, x, edge_src, edge_dst, edge_attr, edge_attr_0,
-                 edge_mask, *, deterministic=True, x_full=None):
+                 edge_mask, *, deterministic=True, x_src_table=None):
         cat_dim = 2 * self.in_channels + self.nbr_channels
         hidden = int(cat_dim / 1.5)
         mh_a = MultiHeadNetwork(
@@ -175,9 +176,9 @@ class GATConvEdges(nn.Module):
 
         # live hypernetwork path: note concat order [x_src, e, x_dst]
         # (plain indexing, CGAT.py:209-211 — opposite of GATConvNodes)
-        gather_x = x if x_full is None else x_full
-        m_cat = jnp.concatenate([gather_x[edge_src], edge_attr,
-                                 gather_x[edge_dst]], axis=-1)
+        src_table = x if x_src_table is None else x_src_table
+        m_cat = jnp.concatenate([src_table[edge_src], edge_attr,
+                                 x[edge_dst]], axis=-1)
         alpha = jnp.exp(mh_a(m_cat))
         alpha = alpha / alpha.sum(axis=1, keepdims=True)   # across heads
         if self.dropout > 0.0 and not deterministic:
@@ -205,7 +206,14 @@ class MHAttention(nn.Module):
     dtype: jnp.dtype | None = None
 
     @nn.compact
-    def __call__(self, fea, cry_fea, node2graph, node_mask, num_graphs):
+    def __call__(self, fea, cry_fea, node2graph, node_mask, num_graphs,
+                 *, axis_name=None):
+        """``axis_name``: mesh axis the atoms are sharded over (edge
+        partitioning). Each cell pools only its LOCAL atoms; the per-crystal
+        softmax is completed with small (C, H, F) collectives — max via
+        all_gather+max (differentiable), numerator/denominator via psum —
+        instead of all-gathering the (N, F) node features and replicating
+        the pooling work on every cell."""
         m = MultiHeadNetwork(self.in_channels, self.out_channels,
                              self.in_channels, self.heads, dtype=self.dtype,
                              name="MH_M")(fea)
@@ -214,11 +222,24 @@ class MHAttention(nn.Module):
             2 * self.in_channels,
             self.out_channels if self.vector_attention else 1,
             self.in_channels, self.heads, dtype=self.dtype, name="MH_A")(cat)
-        # same fused segment-softmax-aggregate as message passing (atoms ->
-        # crystals instead of edges -> nodes); node2graph is sorted
-        agg = edge_softmax_aggregate(alpha, jnp.broadcast_to(
-            m, (m.shape[0], self.heads, self.out_channels)),
-            node2graph, num_graphs, edge_mask=node_mask)
+        m = jnp.broadcast_to(m, (m.shape[0], self.heads, self.out_channels))
+        if axis_name is None:
+            # same fused segment-softmax-aggregate as message passing (atoms
+            # -> crystals instead of edges -> nodes); node2graph is sorted
+            agg = edge_softmax_aggregate(alpha, m, node2graph, num_graphs,
+                                         edge_mask=node_mask)
+            return agg.reshape(-1, self.heads * self.out_channels)
+        from ..ops.segment import NEG_BIG, SOFTMAX_EPS, segment_max
+        masked = jnp.where(node_mask[:, None, None], alpha, NEG_BIG)
+        local_max = jnp.maximum(
+            segment_max(masked, node2graph, num_graphs), NEG_BIG)
+        gmax = jnp.max(jax.lax.all_gather(local_max, axis_name), axis=0)
+        ex = jnp.exp(alpha - gmax[node2graph])
+        ex = jnp.where(node_mask[:, None, None], ex, 0.0)
+        num = segment_sum(ex * m, node2graph, num_graphs)
+        den = segment_sum(ex, node2graph, num_graphs)
+        num, den = jax.lax.psum((num, den), axis_name)
+        agg = num / (den + SOFTMAX_EPS)
         return agg.reshape(-1, self.heads * self.out_channels)
 
 
@@ -233,21 +254,32 @@ class CGAtNet(nn.Module):
         """``edge_axis``: name of a mesh axis this call runs under (inside
         ``shard_map``) with the batch edge-partitioned: node/edge arrays are
         the local shard (collated with ``edge_shards``), composition/target
-        arrays replicated. Node features are all-gathered over the axis at
-        each layer boundary (small (N, F) traffic over ICI) while all per-edge
-        tensors and per-node hypernetwork weights stay local — the GNN
-        analogue of sequence parallelism (SURVEY.md section 5.7)."""
+        arrays replicated. At each layer boundary only the BOUNDARY node
+        features (sources referenced by another shard's edges) are exchanged
+        via a static-shape ``all_to_all`` over ICI — comm per layer is
+        O(S*halo*F), proportional to the partition boundary, not O(N*F).
+        The exchange depends only on the layer's input features, so XLA can
+        overlap the collective with the layer's local per-edge compute. All
+        per-edge tensors and per-node hypernetwork weights stay local — the
+        GNN analogue of sequence parallelism (SURVEY.md section 5.7)."""
         cfg = self.config
         dt = cfg.dtype
         if edge_axis is not None:
             n_loc = batch.nodes.shape[0]
             offset = jax.lax.axis_index(edge_axis) * n_loc
-            dst_local = batch.edge_dst - offset
-            gather_full = lambda a: jax.lax.all_gather(
-                a, edge_axis, axis=0, tiled=True)
+            dst_idx = batch.edge_dst - offset
+            src_idx = batch.edge_src_ext
+
+            def src_table(x):
+                """[local nodes | halo rows]: exchange boundary features."""
+                payload = x[batch.halo_send_idx]       # (S, halo, F)
+                recv = jax.lax.all_to_all(payload, edge_axis, 0, 0)
+                return jnp.concatenate(
+                    [x, recv.reshape(-1, x.shape[-1])], axis=0)
         else:
-            dst_local = None
-            gather_full = lambda a: None
+            dst_idx = batch.edge_dst
+            src_idx = batch.edge_src
+            src_table = lambda x: None
 
         edge_attr = nn.Embed(cfg.neighbor_number + 1, cfg.nbr_embedding_size,
                              embedding_init=nn.initializers.normal(1.0),
@@ -281,37 +313,32 @@ class CGAtNet(nn.Module):
                             name=f"graph_{i}_Edge")
 
         for i in range(cfg.n_graph):
-            x_full = gather_full(elem_fea)
+            x_src = src_table(elem_fea)
             if cfg.update_edges:
                 node_update = node_layer(i)(
-                    elem_fea, batch.edge_src, batch.edge_dst, edge_attr,
+                    elem_fea, src_idx, dst_idx, edge_attr,
                     elem_fea_0, batch.edge_mask, deterministic=deterministic,
-                    x_full=x_full, dst_local=dst_local)
+                    x_src_table=x_src)
                 edge_attr = edge_attr + edge_layer(i)(
-                    elem_fea, batch.edge_src, batch.edge_dst, edge_attr,
+                    elem_fea, src_idx, dst_idx, edge_attr,
                     edge_attr_0, batch.edge_mask, deterministic=deterministic,
-                    x_full=x_full)
+                    x_src_table=x_src)
                 elem_fea = elem_fea + node_update
             else:
                 # Reference's update_edges=False branch passes positionally
                 # broken args (CGAT.py:406-425, dead under defaults); we build
                 # the sane equivalent: node-only attention stack.
                 elem_fea = elem_fea + node_layer(i)(
-                    elem_fea, batch.edge_src, batch.edge_dst, edge_attr,
+                    elem_fea, src_idx, dst_idx, edge_attr,
                     elem_fea_0, batch.edge_mask, deterministic=deterministic,
-                    x_full=x_full, dst_local=dst_local)
+                    x_src_table=x_src)
 
-        if edge_axis is not None:
-            # pooling/composition/head run replicated on the full batch
-            # (tiny (C, ...) work); the trainer divides the loss by the edge
-            # axis size so psum'd gradients stay exact
-            elem_fea = gather_full(elem_fea)
-            node_mask = gather_full(batch.node_mask)
-            node2graph = gather_full(batch.node2graph)
-        else:
-            node_mask = batch.node_mask
-            node2graph = batch.node2graph
-
+        # composition/output head run replicated (tiny (C, ...) work; the
+        # trainer divides the loss by the edge axis size so psum'd gradients
+        # stay exact); the atom pooling itself is sharded — each edge cell
+        # pools its LOCAL atoms and MHAttention completes the per-crystal
+        # softmax with (C, H, F)-sized collectives, so node features are
+        # never all-gathered.
         crys_fea = Roost(cfg.orig_elem_fea_len, cfg.elem_fea_len,
                          cfg.n_graph_roost, dtype=dt, name="roost")(
             batch.comp_weight, jnp.asarray(batch.comp_fea, dt), batch.comp_mask)
@@ -319,8 +346,8 @@ class CGAtNet(nn.Module):
                                heads=cfg.msg_heads,
                                vector_attention=cfg.global_vector_attention,
                                dtype=dt, name="cry_pool")(
-            elem_fea, crys_fea, node2graph, node_mask,
-            batch.num_graphs)
+            elem_fea, crys_fea, batch.node2graph, batch.node_mask,
+            batch.num_graphs, axis_name=edge_axis)
 
         if cfg.mean_pooling:
             crys_fea = crys_fea.reshape(-1, cfg.msg_heads,

@@ -23,6 +23,9 @@ _EDGE_FIELDS = ("edge_src", "edge_dst", "edge_shell", "edge_mask")
 # fields whose axis 1 is the node axis (sharded over `edge` in the
 # shard_map path: each edge shard owns the node slice its edges point at)
 _NODE_FIELDS = ("nodes", "node_mask", "node2graph")
+# halo structure: present only on edge-sharded batches (None otherwise),
+# axis 1 partitioned over `edge` like the edge arrays
+_HALO_FIELDS = ("edge_src_ext", "halo_send_idx")
 
 
 def stack_batches(batches) -> CrystalBatch:
@@ -37,8 +40,11 @@ def stack_batches(batches) -> CrystalBatch:
 
 
 def batch_pspecs(edge_sharded: bool = True) -> CrystalBatch:
-    """PartitionSpecs for a stacked batch (GSPMD-annotation path)."""
+    """PartitionSpecs for a stacked batch (GSPMD-annotation path; such
+    batches are plain collates without the halo structure)."""
     def spec_for(name):
+        if name in _HALO_FIELDS:
+            return None
         if edge_sharded and name in _EDGE_FIELDS:
             return P("dp", "edge")
         return P("dp")
@@ -52,6 +58,8 @@ def shardmap_batch_pspecs(edge_sharded: bool = True) -> CrystalBatch:
     ``edge_shards`` so each edge block's destinations live in the matching
     node slice); composition/target arrays replicated across ``edge``."""
     def spec_for(name):
+        if name in _HALO_FIELDS:
+            return P("dp", "edge") if edge_sharded else None
         if edge_sharded and name in _EDGE_FIELDS + _NODE_FIELDS:
             return P("dp", "edge")
         return P("dp")

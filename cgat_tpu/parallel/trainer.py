@@ -222,18 +222,21 @@ def collate_group(chunks, *, batch_size, max_nbr, node_bucket,
     # pin the feature width so empty tail chunks (drop_last=False) collate
     # to the same shape as the real ones
     fea = next((c[0].atom_fea.shape[1] for c in chunks if c), None)
-    cap = None
+    cap = halo = None
     if S > 1:
-        from ..data.batching import edge_shard_counts
+        from ..data.batching import edge_shard_counts, halo_pair_max
         worst = max(int(edge_shard_counts(c, n_max, S).max())
                     for c in chunks)
         cap = pad_to_bucket(max(worst, 1), 8 * max_nbr)
+        halo = max(8, pad_to_bucket(
+            max(halo_pair_max(c, n_max, S) for c in chunks), 8))
     d_local = D // process_count
     local = chunks[process_index * d_local:(process_index + 1) * d_local]
     batches = [collate(c, max_nbr=max_nbr, num_graphs=batch_size,
                        num_comp_slots=num_comp_slots,
                        num_node_slots=n_max, orig_fea=fea,
                        edge_shards=S, edge_slots_per_shard=cap,
+                       halo_slots=halo,
                        max_degree=(max_degree if S == 1 else None))
                for c in local]
     return stack_batches(batches)

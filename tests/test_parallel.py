@@ -263,3 +263,75 @@ def test_trainer_fit_multi_device(tmp_path):
     import os
     assert os.path.exists(os.path.join(trainer.last_log_dir, "checkpoints",
                                        "best.json"))
+
+
+def test_halo_collate_layout():
+    """Halo structure invariants: every extended source index reconstructs
+    the edge's global source — locals directly, remote ones through the
+    owner's send table row for this shard."""
+    graphs = random_graphs(7, 6, n_atoms_range=(3, 6), max_nbr=4,
+                           orig_fea=12)
+    S = 4
+    b = collate(graphs, max_nbr=4, node_bucket=8, edge_shards=S)
+    N, E = b.nodes.shape[0], b.edge_src.shape[0]
+    n_loc, cap = N // S, E // S
+    send = np.asarray(b.halo_send_idx)     # (S*S, H)
+    H = send.shape[1]
+    src = np.asarray(b.edge_src)
+    ext = np.asarray(b.edge_src_ext)
+    assert send.shape == (S * S, H)
+    assert ((send >= 0) & (send < n_loc)).all()
+    for s in range(S):
+        blk = slice(s * cap, (s + 1) * cap)
+        for g, x in zip(src[blk], ext[blk]):
+            if x < n_loc:
+                assert g == s * n_loc + x
+            else:
+                j, pos = divmod(x - n_loc, H)
+                assert j != s
+                assert g == j * n_loc + send[j * S + s, pos]
+
+
+def test_halo_comm_is_boundary_proportional():
+    """The sharded step must move only boundary-sized payloads per layer:
+    one all_to_all of (S, halo, F) per layer, and NO all_gather of the
+    (N, F) node features anywhere (the pooling tail's collectives are
+    (C, H, F)-sized)."""
+    cfg, graphs, model, params = setup()
+    mesh = make_mesh(dp=4, edge=2)
+    tcfg = TrainerConfig(optim="AdamW", learning_rate=1e-3)
+    tx = make_optimizer(tcfg)
+    criterion = losses.make_loss("L1", False)
+    state = replicate(TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                                 opt_state=tx.init(params)), mesh)
+    pstep, shard = make_parallel_train_step(model, tx, criterion, 0.1, 1.3,
+                                            mesh, donate=False)
+    loader = ParallelLoader(graphs, 4, 4, max_nbr=4, node_bucket=8,
+                            num_comp_slots=8, edge_shards=2)
+    stacked = next(iter(loader))
+    jaxpr = jax.make_jaxpr(pstep)(state, shard(stacked))
+
+    def walk(jxp, out):
+        for eqn in jxp.eqns:
+            if eqn.primitive.name in ("all_gather", "all_to_all",
+                                      "all_gather_invariant"):
+                out.append((eqn.primitive.name,
+                            tuple(v.aval.shape for v in eqn.outvars)))
+            for v in eqn.params.values():
+                if hasattr(v, "jaxpr"):
+                    walk(v.jaxpr, out)
+                elif hasattr(v, "eqns"):
+                    walk(v, out)
+        return out
+
+    colls = walk(jaxpr.jaxpr, [])
+    n_loc = stacked.nodes.shape[1] // 2
+    node_fea_size = n_loc * 2 * TINY["elem_fea_len"]  # full (N, F) gather
+    gathers = [shapes for name, shapes in colls if "all_gather" in name]
+    a2a = [shapes for name, shapes in colls if name == "all_to_all"]
+    # fwd + transpose in backward per layer; none all_gathers node features
+    assert len(a2a) >= TINY["n_graph"], colls
+    for shapes in gathers:
+        for shp in shapes:
+            assert np.prod(shp) < node_fea_size, (
+                f"node-feature-sized all_gather {shp} found: {colls}")
