@@ -29,6 +29,10 @@ def main(argv=None):
                         "the GP step instead of precomputing all embeddings "
                         "(reference on-the-fly mode, "
                         "gaussian_process.py:241-296; use for huge pools)")
+    p.add_argument("--devices", type=int, default=1,
+                   help="shard the frozen-backbone embedding pass over this "
+                        "many dp replicas (mesh equivalent of the "
+                        "reference's DDP GP, gaussian_process.py:644-672)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out", default="gp_model.pickle.gz")
     args = p.parse_args(argv)

@@ -148,6 +148,39 @@ def make_parallel_eval_step(model: CGAtNet, criterion, mean, std, mesh: Mesh,
     return eval_fn
 
 
+def make_parallel_embed_step(model: CGAtNet, mesh: Mesh, *,
+                             edge_sharded: bool = True):
+    """Sharded graph-embedding forward for GP / active-learning ranking.
+
+    The reference trains its GP under DDP (gaussian_process.py:644-672) so
+    the frozen-backbone embedding pass scales with the pool; this is the
+    mesh equivalent: each dp row embeds its own replica batch (edge cells
+    partition the message passing as in training). Returns
+    ``embed(params, stacked_batch) -> (D, C, embedding_dim)``.
+    """
+    S = mesh.shape["edge"]
+    edge_axis = "edge" if (edge_sharded and S > 1) else None
+    pspecs = shardmap_batch_pspecs(edge_axis is not None)
+    shard_batch = make_batch_sharder(mesh, pspecs)
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(), pspecs), out_specs=P("dp"), check_vma=False)
+    def fn(params, batch: CrystalBatch):
+        local = _squeeze_dp(batch)
+        kwargs = {"edge_axis": edge_axis} if edge_axis else {}
+        emb = model.apply({"params": params}, local,
+                          return_graph_embedding=True, **kwargs)
+        return emb[None]
+
+    jitted = jax.jit(fn)
+
+    def embed(params, stacked):
+        return jitted(params, shard_batch(stacked))
+
+    return embed
+
+
 class StreamingParallelLoader:
     """Stacked-group loader over an out-of-core shard stream.
 

@@ -720,6 +720,34 @@ class Trainer:
             out.append(np.asarray(e)[np.asarray(batch.graph_mask)])
         return np.concatenate(out) if out else np.zeros((0,))
 
+    def embeddings_parallel(self, params, graphs, n_replicas, mesh=None):
+        """Mesh-sharded :meth:`embeddings`: the frozen-backbone embedding
+        pass over a large candidate pool runs dp-replicated (and
+        edge-partitioned) instead of on one chip — the analogue of the
+        reference GP's DDP embedding pass (gaussian_process.py:644-672).
+        Single-process meshes (results are gathered to the host)."""
+        cfg = self.cfg
+        from ..parallel import ParallelLoader, make_mesh
+        from ..parallel.trainer import make_parallel_embed_step
+        if mesh is None:
+            mesh = make_mesh(dp=n_replicas, edge=cfg.edge_shards)
+        embed = make_parallel_embed_step(self.model, mesh,
+                                         edge_sharded=cfg.edge_shards > 1)
+        loader = ParallelLoader(graphs, cfg.batch_size, n_replicas,
+                                shuffle=False, seed=cfg.seed,
+                                max_nbr=cfg.max_nbr,
+                                node_bucket=cfg.node_bucket,
+                                num_comp_slots=cfg.num_comp_slots,
+                                drop_last=False,
+                                edge_shards=cfg.edge_shards)
+        out = []
+        for batch in loader:
+            e = np.asarray(embed(params, batch))           # (D, C, emb)
+            mask = np.asarray(batch.graph_mask)            # (D, C)
+            for d in range(e.shape[0]):
+                out.append(e[d][mask[d]])
+        return np.concatenate(out) if out else np.zeros((0,))
+
 
 class CheckpointManager:
     """Orbax-backed top-1 checkpointing (reference ModelCheckpoint on

@@ -283,7 +283,13 @@ def train_gp_from_checkpoint(args):
                                   target=trainer.cfg.target)
         y = np.asarray([g.target for g in graphs], np.float32)
         n = len(graphs)
-        x = None if on_the_fly else trainer.embeddings(params, graphs)
+        devices = int(getattr(args, "devices", 1) or 1)
+        if on_the_fly:
+            x = None
+        elif devices > 1:
+            x = trainer.embeddings_parallel(params, graphs, devices)
+        else:
+            x = trainer.embeddings(params, graphs)
 
     tr, va, te = split_dataset(n, seed=args.seed)
     mean = float(np.mean(y[tr]))

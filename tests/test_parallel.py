@@ -335,3 +335,18 @@ def test_halo_comm_is_boundary_proportional():
         for shp in shapes:
             assert np.prod(shp) < node_fea_size, (
                 f"node-feature-sized all_gather {shp} found: {colls}")
+
+
+def test_embeddings_parallel_matches_single_device():
+    """Mesh-sharded embedding pass (GP / AL ranking) == single-device
+    embeddings, every graph exactly once, in dataset order."""
+    from cgat_tpu.models import CGATConfig
+    from cgat_tpu.training import Trainer, TrainerConfig
+    cfg, graphs, model, params = setup(n_graphs=21)
+    tcfg = TrainerConfig(batch_size=2, node_bucket=8, num_comp_slots=8,
+                         max_nbr=4, edge_shards=2)
+    trainer = Trainer(tcfg, CGATConfig(**TINY), graphs, mean=0.1, std=1.3)
+    single = trainer.embeddings(params, graphs)
+    multi = trainer.embeddings_parallel(params, graphs, 4)
+    assert multi.shape == single.shape == (21, CGATConfig(**TINY).embedding_dim)
+    np.testing.assert_allclose(multi, single, rtol=2e-4, atol=1e-5)
