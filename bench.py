@@ -153,6 +153,78 @@ def measure(batch_size: int, compute_dtype: str = "bfloat16",
     }
 
 
+def verify_pallas(tol: float = 1e-4):
+    """Mosaic-compiled numerics certificate, run on the real chip every
+    bench round so a Mosaic regression cannot ship invisibly (the CI suite
+    only exercises interpreter mode). Two falsifiable checks in f32:
+
+    1. full-model FORWARD loss parity Pallas vs XLA (catches output
+       corruption anywhere in the fused op), and
+    2. fused-op fwd+grad parity at BOTH in-model call-site shapes
+       (message passing E~8.4k->N=768 and pooling N=768->C=64) with a
+       nonlinear downstream so the custom VJP sees real cotangents.
+
+    Full-model GRADIENT comparison is deliberately NOT the certificate: the
+    recursive hypernetwork stack amplifies any systematic per-op difference
+    ~5x per layer (measured: op grads agree to 2e-6 on hardware, model
+    grads diverge 7e-4/3.7e-3/2.8e-2 at n_graph 1/2/5 for BOTH correct
+    backends — while f32-vs-f64 agree to 1e-5 because rounding is
+    unbiased). docs/PERFORMANCE.md round 3 records the analysis."""
+    from cgat_tpu.ops import attention as _att
+    from cgat_tpu.ops.pallas import edge_softmax_aggregate as pop
+    from cgat_tpu.ops.attention import edge_softmax_aggregate as xop
+    from cgat_tpu.data import collate
+    from cgat_tpu.data.synthetic import random_graphs
+    from cgat_tpu.models import CGATConfig, CGAtNet
+    from cgat_tpu.models.host_init import init_params_host
+
+    cfg = CGATConfig(compute_dtype="float32")
+    model = CGAtNet(cfg)
+    graphs = random_graphs(0, 64, n_atoms_range=(8, 16), max_nbr=24)
+    batch = collate(graphs, max_nbr=24, node_bucket=64)
+    params = jax.tree.map(jnp.asarray, init_params_host(model, batch, seed=0))
+
+    def fwd_loss(p):
+        out = model.apply({"params": p}, batch)
+        return jnp.sum(jnp.where(batch.graph_mask,
+                                 (out[:, 0] - batch.target) ** 2, 0.0))
+
+    losses = {}
+    for backend in ("pallas", "xla"):
+        _att.set_backend(backend)
+        losses[backend] = float(jax.jit(fwd_loss)(params))
+    _att.set_backend("pallas")
+    errs = [abs(losses["pallas"] - losses["xla"])
+            / (abs(losses["xla"]) + 1e-30)]
+
+    H, F = cfg.msg_heads, cfg.elem_fea_len
+    rng = np.random.default_rng(0)
+    for e, n, dst, mask in (
+            (batch.edge_src.shape[0], batch.nodes.shape[0],
+             batch.edge_dst, batch.edge_mask),                 # MP shape
+            (batch.nodes.shape[0], batch.num_graphs,
+             batch.node2graph, batch.node_mask)):              # pool shape
+        alpha = jnp.asarray(rng.standard_normal((e, H, F)), jnp.float32)
+        m = jnp.asarray(rng.standard_normal((e, H, F)), jnp.float32)
+        vg_p = jax.jit(jax.value_and_grad(
+            lambda a, mm: jnp.sum(pop(a, mm, dst, n, edge_mask=mask) ** 2),
+            argnums=(0, 1)))(alpha, m)
+        vg_x = jax.jit(jax.value_and_grad(
+            lambda a, mm: jnp.sum(xop(a, mm, dst, n, edge_mask=mask,
+                                      backend="xla") ** 2),
+            argnums=(0, 1)))(alpha, m)
+        errs.append(abs(float(vg_p[0]) - float(vg_x[0]))
+                    / (abs(float(vg_x[0])) + 1e-30))
+        num = sum(float(np.linalg.norm(np.asarray(a) - np.asarray(b)) ** 2)
+                  for a, b in zip(vg_p[1], vg_x[1]))
+        den = sum(float(np.linalg.norm(np.asarray(b)) ** 2)
+                  for b in vg_x[1])
+        errs.append(float(np.sqrt(num / (den + 1e-30))))
+    max_rel = float(np.max(errs))
+    return {"verify_pallas_ok": bool(max_rel < tol),
+            "verify_max_rel_err": round(max_rel, 8)}
+
+
 def main():
     # The axon TPU runtime DEFERS execution until a value is actually read
     # back — block_until_ready alone returns enqueue-time fiction. Force
@@ -181,6 +253,28 @@ def main():
         except Exception:
             extras[key] = None
 
+    # Mosaic numerics certificate + per-kernel roofline (north-star
+    # "speed-of-light" substantiation); both tolerate failure so a flake
+    # cannot kill the headline metric
+    verify = {}
+    try:
+        verify.update(verify_pallas())
+    except Exception as e:
+        verify["verify_pallas_ok"] = f"error: {type(e).__name__}"
+    roofline = None
+    try:
+        from cgat_tpu.utils.roofline import measure_kernels
+        rk = measure_kernels(iters=20, trials=2)
+        roofline = {
+            k: {"us": round(rk[k]["seconds"] * 1e6, 1),
+                "gb_per_s": rk[k]["dma_gb_per_s"],
+                "hbm_frac": rk[k]["hbm_fraction"],
+                "mxu_frac_f32": rk[k]["mxu_fraction_f32_highest"],
+                "bound": rk[k]["bound"]}
+            for k in ("fwd", "bwd")}
+    except Exception:
+        pass
+
     # the tunnel's dispatch RTT drifts over minutes, swinging per-process
     # readings ~15%; re-measure the headline config at the end and keep the
     # better draw (min-of-trials within a process cannot cancel RTT drift)
@@ -208,6 +302,8 @@ def main():
         "mfu": round(r64["mfu"], 4),
         "tflops_per_sec": round(r64["tflops_per_sec"], 2),
         "flops_per_step": r64["flops_per_step"],
+        **verify,
+        **({"roofline": roofline} if roofline else {}),
     }))
 
 

@@ -139,8 +139,16 @@ class MultiHeadNetwork(nn.Module):
     dtype: jnp.dtype | None = None
 
     @nn.compact
-    def __call__(self, x):
-        x = x.reshape(-1, self.input_dim)
+    def __call__(self, x=None, *, split_parts=None):
+        """Either the plain path (``x`` of shape ``(B, ..., input_dim)``) or
+        the split-projection path: ``split_parts`` is a list of
+        ``(features, gather_idx_or_None)`` whose feature widths consume
+        consecutive slices of ``input_dim``. For parts with a gather index,
+        ``fc_in`` is applied to the (small) source table FIRST and the
+        projections are gathered per row — mathematically identical to
+        projecting the gathered concat (the first layer is linear), but a
+        node's features are projected once instead of once per incident
+        edge. Same parameters either way."""
         w_in = self.param("fc_in_kernel", _mh_kernel_init,
                           (self.nb_heads, self.hidden_layer_dim, self.input_dim))
         b_in = self.param("fc_in_bias", torch_linear_bias_init(self.input_dim),
@@ -150,8 +158,19 @@ class MultiHeadNetwork(nn.Module):
         b_out = self.param("fc_out_bias",
                            torch_linear_bias_init(self.hidden_layer_dim),
                            (self.nb_heads, self.output_dim))
-        x = jnp.asarray(x, self.dtype)
-        h = jnp.einsum("bi,hji->bhj", x, jnp.asarray(w_in, self.dtype))
+        wi = jnp.asarray(w_in, self.dtype)
+        if split_parts is None:
+            x = jnp.asarray(x.reshape(-1, self.input_dim), self.dtype)
+            h = jnp.einsum("bi,hji->bhj", x, wi)
+        else:
+            h, off = 0.0, 0
+            for feat, idx in split_parts:
+                d = feat.shape[-1]
+                p = jnp.einsum("bi,hji->bhj", jnp.asarray(feat, self.dtype),
+                               wi[:, :, off:off + d])
+                h = h + (p if idx is None else p[idx])
+                off += d
+            assert off == self.input_dim, (off, self.input_dim)
         h = nn.leaky_relu(h + jnp.asarray(b_in, self.dtype), LEAKY_SLOPE)
         y = jnp.einsum("bhj,hoj->bho", h, jnp.asarray(w_out, self.dtype))
         return y + jnp.asarray(b_out, self.dtype)

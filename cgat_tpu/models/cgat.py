@@ -60,6 +60,12 @@ class CGATConfig:
     dropout: float = 0.0
     out_hidden: tuple = (1024, 1024, 512, 512, 256, 256, 128)
     compute_dtype: str = "float32"    # "bfloat16" for mixed precision
+    # project node features through the MH fc_in PER NODE and gather the
+    # projections per edge, instead of projecting the per-edge
+    # [x_dst, e, x_src] concat (exact linear decomposition, same params;
+    # cuts per-edge fc_in FLOPs to the edge-feature third). A/B'd on
+    # hardware before flipping the default (docs/PERFORMANCE.md round 3)
+    split_projection: bool = False
     remat: bool = False               # rematerialise MP layers in backward
     hyper_remat: bool = False         # rematerialise only the HyperLinears
     #   (selective: recompute the (B, out*in+out) predicted-param tensors in
@@ -94,6 +100,7 @@ class GATConvNodes(nn.Module):
     dropout: float = 0.0
     dtype: jnp.dtype | None = None
     hyper_remat: bool = False
+    split_projection: bool = False
 
     @nn.compact
     def __call__(self, x, edge_src, edge_dst, edge_attr, x_0, edge_mask,
@@ -110,13 +117,21 @@ class GATConvNodes(nn.Module):
         dst_l = edge_dst
         cat_dim = 2 * self.in_channels + self.nbr_channels
         hidden = int(cat_dim / 1.5)
-        m_cat = jnp.concatenate([x[edge_dst], edge_attr,
-                                 src_table[edge_src]], axis=-1)
-        alpha = MultiHeadNetwork(
+        mh_a = MultiHeadNetwork(
             cat_dim, self.out_channels if self.vector_attention else 1,
-            hidden, self.heads, dtype=self.dtype, name="MH_A")(m_cat)
-        m = MultiHeadNetwork(cat_dim, self.out_channels, hidden, self.heads,
-                             dtype=self.dtype, name="MH_M")(m_cat)
+            hidden, self.heads, dtype=self.dtype, name="MH_A")
+        mh_m = MultiHeadNetwork(cat_dim, self.out_channels, hidden,
+                                self.heads, dtype=self.dtype, name="MH_M")
+        if self.split_projection:
+            parts = [(x, edge_dst), (edge_attr, None),
+                     (src_table, edge_src)]
+            alpha = mh_a(split_parts=parts)
+            m = mh_m(split_parts=parts)
+        else:
+            m_cat = jnp.concatenate([x[edge_dst], edge_attr,
+                                     src_table[edge_src]], axis=-1)
+            alpha = mh_a(m_cat)
+            m = mh_m(m_cat)
         if self.dropout > 0.0 and not deterministic:
             w = segment_softmax(alpha, dst_l, num_nodes, mask=edge_mask)
             w = nn.Dropout(self.dropout, deterministic=False)(w)
@@ -301,6 +316,7 @@ class CGAtNet(nn.Module):
                             vector_attention=cfg.vector_attention,
                             first=(i == 0), dropout=cfg.dropout, dtype=dt,
                             hyper_remat=cfg.hyper_remat,
+                            split_projection=cfg.split_projection,
                             name=f"graph_{i}_Node")
 
         def edge_layer(i):

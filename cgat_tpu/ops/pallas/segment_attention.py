@@ -124,13 +124,23 @@ def _fwd_kernel(off_ref, alpha_hbm, m_hbm, dstb_hbm,
         run_max[:] = jnp.broadcast_to(new, (8, hf))
 
         e = jnp.exp(a - new) * validf                         # (BE, HF)
-        # one fused one-hot contraction for both sums: sel @ [e | e*m]
+        # one fused one-hot contraction for both sums: sel @ [e | e*m].
+        # When the op runs in bf16 compute mode the weights/messages carry
+        # bf16 precision already, so the contraction runs single-pass bf16
+        # (f32 accumulation) — 82% -> MXU-peak headroom on the forward; in
+        # f32 mode it stays a HIGHEST-precision f32 contraction.
         cat = jnp.concatenate(
             [e, e * m_s[slot].astype(jnp.float32)], axis=1)   # (BE, 2*HF)
-        acc = jax.lax.dot_general(
-            sel, cat, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)               # (BN, 2*HF)
+        if a_s.dtype == jnp.bfloat16:
+            acc = jax.lax.dot_general(
+                sel.astype(jnp.bfloat16), cat.astype(jnp.bfloat16),
+                (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)            # (BN, 2*HF)
+        else:
+            acc = jax.lax.dot_general(
+                sel, cat, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)           # (BN, 2*HF)
         acc_den[:] += acc[:, :hf]
         acc_num[:] += acc[:, hf:]
         return 0
@@ -246,6 +256,7 @@ def _fwd_impl(alpha2, m2, dst2, n_real, num_nodes, bn, be, interpret):
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((n_pad, hf), jnp.float32)] * 3,
         interpret=interpret,
+        name="seg_attn_fwd",
     )(offsets, alpha2, m2, dstb)
     return out[:num_nodes], maxv[:num_nodes], den[:num_nodes]
 
@@ -317,6 +328,7 @@ def _vjp_bwd(num_nodes, bn, be, interpret, res, g):
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((e_tot, hf), jnp.float32)] * 2,
         interpret=interpret,
+        name="seg_attn_bwd",
     )(meta, dstb, alpha2, m2, nodecat)
     return dalpha, dm, None, None
 

@@ -1,0 +1,220 @@
+"""Per-kernel roofline accounting for the fused segment-attention kernels.
+
+Substantiates the "speed-of-light" claim (BASELINE.md north star) with
+numbers instead of adjectives: for the fused forward and backward Pallas
+kernels (ops/pallas/segment_attention.py) this computes, from the exact
+shapes and the kernel's own chunking policy,
+
+* bytes moved between HBM and VMEM (the DMA program the kernel issues), and
+* MXU FLOPs of the one-hot membership matmuls (the only matmuls inside),
+
+then divides by measured kernel wall time to place each kernel against the
+v5e rooflines. Run ``python -m cgat_tpu.utils.roofline`` on the TPU for the
+measured table; bench.py embeds the summary in its JSON.
+
+v5e peaks used (public spec): HBM ~819 GB/s, MXU 197 TFLOP/s bf16. The
+one-hot contractions run with f32 accumulation at HIGHEST precision, whose
+MXU rate is a fraction of bf16 peak (multi-pass); both fractions are
+reported so the verdict does not hinge on the exact f32 multiplier.
+"""
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+HBM_BYTES_PER_S = 819e9       # v5e HBM bandwidth
+MXU_BF16_FLOPS = 197e12       # v5e bf16 systolic peak
+F32_HIGHEST_FRACTION = 1 / 6  # approx f32-HIGHEST multi-pass MXU rate
+
+
+def fwd_kernel_accounting(edge_dst, n_real: int, num_nodes: int, hf: int,
+                          *, bn: int = 128, be: int = 768,
+                          dtype_bytes: int = 2) -> dict:
+    """Exact DMA bytes + MXU FLOPs of one fused forward call.
+
+    Mirrors _fwd_kernel's chunking: per node block, edges [start_al, end)
+    are DMA'd in ``be``-edge chunks (alpha + m at ``dtype_bytes`` plus the
+    (be, 128) int32 lane-broadcast dst array); each chunk does one
+    (be, bn) x (be, 2*hf) one-hot contraction.
+    """
+    dst = np.asarray(edge_dst)[:n_real]
+    nblocks = -(-num_nodes // bn)
+    bounds = np.arange(1, nblocks + 1) * bn
+    off = np.minimum(np.searchsorted(dst, bounds, side="left"), n_real)
+    off = np.concatenate([[0], off])
+    chunks = 0
+    for i in range(nblocks):
+        start_al = (off[i] // 16) * 16
+        chunks += max(0, -(-(off[i + 1] - start_al) // be))
+    n_pad = nblocks * bn
+    read = chunks * be * (2 * hf * dtype_bytes + 128 * 4)
+    write = 3 * n_pad * hf * 4                    # out, max, den (f32)
+    flops = chunks * 2.0 * be * bn * (2 * hf)
+    return {"dma_bytes": float(read + write), "mxu_flops": float(flops),
+            "chunks": int(chunks)}
+
+
+def bwd_block_edges(e_tot: int, be: int = 768,
+                    override: int | None = None) -> int:
+    """The backward's block-size policy (ops/pallas/segment_attention.py)."""
+    if override and e_tot % override == 0:
+        return override
+    while be > 128 and e_tot % (be // 2) == 0:
+        be //= 2
+    return be
+
+
+def bwd_kernel_accounting(e_tot: int, hf: int, *, be: int | None = None,
+                          dtype_bytes: int = 2) -> dict:
+    """Exact DMA bytes + MXU FLOPs of one fused backward call."""
+    if be is None:
+        be = bwd_block_edges(e_tot)
+    span = be + 8
+    nblocks = e_tot // be
+    read = e_tot * (128 * 4 + 2 * hf * dtype_bytes)       # dst + alpha + m
+    read += nblocks * span * 3 * hf * 4                   # nodecat slices
+    write = 2 * e_tot * hf * 4                            # dalpha, dm
+    flops = nblocks * 2.0 * be * span * (3 * hf)
+    return {"dma_bytes": float(read + write), "mxu_flops": float(flops),
+            "block_edges": int(be)}
+
+
+def summarize(acct: dict, seconds: float, *,
+              bf16_matmul: bool = False) -> dict:
+    """Place one kernel run on the rooflines. ``bf16_matmul``: the one-hot
+    contractions run single-pass bf16 (the kernel's bf16-compute mode), so
+    the relevant MXU fraction is the bf16 one."""
+    gbps = acct["dma_bytes"] / seconds / 1e9
+    tflops = acct["mxu_flops"] / seconds / 1e12
+    hbm_frac = gbps * 1e9 / HBM_BYTES_PER_S
+    mxu_frac_bf16 = tflops * 1e12 / MXU_BF16_FLOPS
+    mxu_frac_f32 = mxu_frac_bf16 / F32_HIGHEST_FRACTION
+    mxu_frac = mxu_frac_bf16 if bf16_matmul else mxu_frac_f32
+    return {
+        "seconds": seconds,
+        "dma_gb_per_s": round(gbps, 1),
+        "hbm_fraction": round(hbm_frac, 3),
+        "mxu_tflops": round(tflops, 1),
+        "mxu_fraction_bf16_peak": round(mxu_frac_bf16, 3),
+        "mxu_fraction_f32_highest": round(mxu_frac_f32, 3),
+        "bound": "mxu" if mxu_frac > hbm_frac else "hbm",
+    }
+
+
+def headline_shapes(batch, heads: int = 5, fea: int = 128):
+    """(edge_dst, n_real, num_nodes, hf, e_tot_padded) for a collated batch,
+    matching what edge_softmax_aggregate hands the kernel."""
+    import numpy as np
+    dst = np.asarray(batch.edge_dst)
+    n_real = int(np.asarray(batch.edge_mask).sum())
+    e_tot = dst.shape[0]
+    be = 768
+    if e_tot % be:
+        e_tot += be - e_tot % be
+    return dst, n_real, int(batch.nodes.shape[0]), heads * fea, e_tot
+
+
+def _device_kernel_times(trace_dir: str) -> dict:
+    """Parse a jax.profiler trace: mean per-call device duration of each
+    named kernel event and of everything else on the TPU lane."""
+    import collections
+    import glob
+    import gzip
+    import json
+
+    files = sorted(glob.glob(
+        os.path.join(trace_dir, "plugins/profile/*/*.trace.json.gz")))
+    with gzip.open(files[-1]) as f:
+        tr = json.load(f)
+    dev_pids = {e["pid"] for e in tr["traceEvents"]
+                if e.get("ph") == "M" and e.get("name") == "process_name"
+                and "TPU" in str(e["args"].get("name", ""))}
+    tot = collections.Counter()
+    cnt = collections.Counter()
+    for e in tr["traceEvents"]:
+        if e.get("ph") == "X" and e.get("pid") in dev_pids:
+            tot[e["name"]] += e.get("dur", 0)
+            cnt[e["name"]] += 1
+    return {name: (tot[name] / cnt[name] / 1e6, cnt[name]) for name in tot}
+
+
+def measure_kernels(batch_size: int = 64, iters: int = 20, trials: int = 0):
+    """Device-trace measurement of the fused kernels at headline shapes.
+
+    Wall-clock over the axon tunnel is polluted by ~1 ms dispatch latency —
+    far larger than the kernels themselves — so times come from the
+    jax.profiler device lane: per-call duration of the named pallas calls
+    (seg_attn_fwd / seg_attn_bwd) plus the surrounding jit's total device
+    time (= kernel + the pad/copy wrapper XLA adds)."""
+    import tempfile
+
+    import jax
+    import jax.numpy as jnp
+
+    from ..data import collate
+    from ..data.synthetic import random_graphs
+    from ..ops.pallas import edge_softmax_aggregate as op
+
+    H, F = 5, 128
+    graphs = random_graphs(0, batch_size, n_atoms_range=(8, 16), max_nbr=24)
+    batch = collate(graphs, max_nbr=24, node_bucket=64)
+    dst, n_real, num_nodes, hf, e_pad = headline_shapes(batch, H, F)
+    e_slots = batch.edge_src.shape[0]
+    rng = np.random.default_rng(0)
+    alpha = jnp.asarray(rng.standard_normal((e_slots, H, F)), jnp.bfloat16)
+    m = jnp.asarray(rng.standard_normal((e_slots, H, F)), jnp.bfloat16)
+
+    fwd = jax.jit(lambda a, mm: op(a, mm, batch.edge_dst, num_nodes,
+                                   edge_mask=batch.edge_mask))
+    grad = jax.jit(jax.grad(lambda a, mm: jnp.sum(
+        op(a, mm, batch.edge_dst, num_nodes,
+           edge_mask=batch.edge_mask).astype(jnp.float32)), argnums=(0, 1)))
+
+    r = fwd(alpha, m)
+    _ = float(jnp.sum(r.astype(jnp.float32)))          # compile + sync
+    g = grad(alpha, m)
+    _ = float(jnp.sum(g[0].astype(jnp.float32)))
+
+    with tempfile.TemporaryDirectory() as td:
+        jax.profiler.start_trace(td)
+        for _ in range(iters):
+            r = fwd(alpha, m)
+        _ = float(jnp.sum(r.astype(jnp.float32)))
+        for _ in range(iters):
+            g = grad(alpha, m)
+        _ = float(jnp.sum(g[0].astype(jnp.float32)))
+        jax.profiler.stop_trace()
+        times = _device_kernel_times(td)
+
+    def named(prefix):
+        for name, (dur, _n) in times.items():
+            if prefix in name:
+                return dur
+        return float("nan")
+
+    t_fwd = named("seg_attn_fwd")
+    t_bwd = named("seg_attn_bwd")
+    # total device time across both jits / iters, minus kernels -> wrapper
+    total_dev = sum(dur * n for name, (dur, n) in times.items()
+                    if name.startswith("jit_"))
+    wrapper = max(total_dev / iters - t_fwd * 2 - t_bwd, 0.0)
+
+    facct = fwd_kernel_accounting(dst, n_real, num_nodes, hf)
+    bacct = bwd_kernel_accounting(e_pad, hf)
+    return {
+        "config": {"batch": batch_size, "edge_slots": e_slots,
+                   "real_edges": n_real, "node_slots": num_nodes, "hf": hf},
+        "fwd": {**facct, **summarize(facct, t_fwd, bf16_matmul=True)},
+        "bwd": {**bacct, **summarize(bacct, t_bwd)},
+        "xla_wrapper_us_per_call": round(wrapper / 3 * 1e6, 1),
+    }
+
+
+def main():
+    import json
+    print(json.dumps(measure_kernels(), indent=2))
+
+
+if __name__ == "__main__":
+    main()

@@ -191,3 +191,27 @@ def test_hyper_remat_is_equivalent():
     assert float(l0) == float(l1)
     jax.tree.map(lambda a, b: np.testing.assert_array_equal(
         np.asarray(a), np.asarray(b)), g0, g1)
+
+
+def test_split_projection_is_equivalent():
+    """`split_projection` must be a pure compute-layout change: identical
+    parameter tree and matching outputs/gradients (exact linear
+    decomposition of the MH fc_in; only float summation order differs)."""
+    cfg, graphs, batch, model, params, _ = build(seed=8)
+    cfg_s = CGATConfig(**{**SMALL, "split_projection": True})
+    model_s = CGAtNet(cfg_s)
+    params_s = model_s.init(jax.random.key(8), batch)["params"]
+    assert jax.tree.structure(params) == jax.tree.structure(params_s)
+
+    out = np.asarray(model.apply({"params": params}, batch))
+    out_s = np.asarray(model_s.apply({"params": params}, batch))
+    np.testing.assert_allclose(out_s, out, rtol=2e-4, atol=2e-5)
+
+    def loss(m, p):
+        return jnp.mean(m.apply({"params": p}, batch) ** 2)
+
+    g0 = jax.grad(lambda p: loss(model, p))(params)
+    g1 = jax.grad(lambda p: loss(model_s, p))(params)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=5e-4, atol=5e-6)
