@@ -27,13 +27,18 @@ def main(argv=None):
                    help="incremental featurisation cache directory: repeat "
                         "runs over overlapping structure sets (AL rounds) "
                         "skip the neighbor search for known structures")
+    p.add_argument("--workers", type=int, default=0,
+                   help="parallel featurisation processes (the reference "
+                        "parallelises prepare with a shell loop over "
+                        "shards, Utilities/prepare.sh; 0/1 = serial)")
     args = p.parse_args(argv)
 
     from ..data.featurizer import build_dataset_prepare
     out = build_dataset_prepare(
         os.path.join(args.source_dir, args.file),
         target_property=tuple(args.targets), radius=args.radius,
-        max_neighbor_number=args.max_nbr, cache=args.cache_dir)
+        max_neighbor_number=args.max_nbr, cache=args.cache_dir,
+        workers=args.workers)
     name = args.target_file or os.path.basename(args.file)
     path = os.path.join(args.target_dir, name)
     with gzip.open(path, "wb") as f:

@@ -341,36 +341,72 @@ def _count(species):
     return c
 
 
+def _featurise_star(args):
+    """Picklable worker for parallel featurisation (fork-safe: numpy/C++
+    only, no device state). The disk cache is safe under concurrent
+    writers (atomic pid-suffixed temp files)."""
+    entry, radius, max_nbr, target_property, cache_dir = args
+    cache = FeaturizationCache(cache_dir) if cache_dir else None
+    return featurise_entry(entry, radius=radius, max_nbr=max_nbr,
+                           target_property=target_property, cache=cache)
+
+
 def build_dataset_prepare(data, *, target_property=("e_above_hull", "e_form"),
                           radius: float = 18.0, fea_path: str | None = None,
                           max_neighbor_number: int = 24,
                           drop_unaries: bool = False, progress: bool = True,
-                          cache: FeaturizationCache | str | None = None):
+                          cache: FeaturizationCache | str | None = None,
+                          workers: int = 0):
     """Featurise a list (or gzipped pickle path) of structure entries into the
     reference's prepared-dict schema (prepare_data.py:14-98):
     ``{'input' (3, n) object rows [shell, self_idx, nbr_idx], 'batch_ids',
     'batch_comp', 'target' {name: [per-atom values]}, 'comps'}``.
     ``cache`` (a :class:`FeaturizationCache` or its directory path) makes
     repeat featurisation of overlapping structure sets incremental.
+    ``workers > 1`` runs the neighbor search across processes, preserving
+    entry order (the reference parallelises this with a shell loop over
+    shards, Utilities/prepare.sh; here it is in-process).
     """
     if isinstance(cache, str):
         cache = FeaturizationCache(cache)
     if isinstance(data, str):
         with gzip.open(data, "rb") as f:
             data = pickle.load(f)
-    it = data
+
+    if workers and workers > 1:
+        import multiprocessing as mp
+        cache_dir = cache.path if cache is not None else None
+        jobs = [(e, radius, max_neighbor_number, tuple(target_property),
+                 cache_dir) for e in data]
+        ctx = mp.get_context("fork" if "fork" in mp.get_all_start_methods()
+                             else "spawn")
+        with ctx.Pool(workers) as pool:
+            results = pool.imap(_featurise_star, jobs,
+                                chunksize=max(1, len(jobs) // (8 * workers)))
+            it = _maybe_tqdm(results, progress, total=len(jobs))
+            return _assemble_prepared(it, target_property, drop_unaries)
+
+    it = _maybe_tqdm(
+        (featurise_entry(entry, radius=radius, max_nbr=max_neighbor_number,
+                         target_property=target_property, cache=cache)
+         for entry in data), progress, total=len(data))
+    return _assemble_prepared(it, target_property, drop_unaries)
+
+
+def _maybe_tqdm(it, progress, total):
     if progress:
         try:
             from tqdm import tqdm
-            it = tqdm(data)
+            return tqdm(it, total=total)
         except ImportError:
             pass
+    return it
 
+
+def _assemble_prepared(results, target_property, drop_unaries):
     shell_l, self_l, nbr_l, comps_l, bc_l, ids_l = [], [], [], [], [], []
     target_l = {name: [] for name in target_property}
-    for entry in it:
-        out = featurise_entry(entry, radius=radius, max_nbr=max_neighbor_number,
-                              target_property=target_property, cache=cache)
+    for out in results:
         if out is None:
             continue
         shells, self_idx, nbr_idx, species, targets, comp, cry_id = out

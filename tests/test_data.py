@@ -266,3 +266,26 @@ def test_edge_slot_sizing_and_invariance():
     out_t = np.asarray(model.apply({"params": params}, tight))
     out_f = np.asarray(model.apply({"params": params}, full))
     np.testing.assert_allclose(out_t, out_f, rtol=1e-5, atol=1e-6)
+
+
+def test_build_dataset_prepare_parallel_matches_serial(tmp_path):
+    """workers>1 must reproduce the serial prepared dict exactly (order,
+    values), including through a shared on-disk cache."""
+    from cgat_tpu.data.featurizer import build_dataset_prepare
+    from cgat_tpu.data.structures import random_structures
+    structures = random_structures(5, 24, noise=0.01, strain=0.01)
+    serial = build_dataset_prepare(structures, progress=False)
+    par = build_dataset_prepare(structures, progress=False, workers=3,
+                                cache=str(tmp_path / "cache"))
+    assert serial["batch_ids"] == par["batch_ids"]
+    assert list(serial["batch_comp"]) == list(par["batch_comp"])
+    for k in serial["target"]:
+        np.testing.assert_array_equal(serial["target"][k], par["target"][k])
+    for row in range(3):
+        for i in range(len(serial["batch_ids"])):
+            np.testing.assert_array_equal(serial["input"][row][i],
+                                          par["input"][row][i])
+    # cache warm now: a second parallel run replays from disk identically
+    par2 = build_dataset_prepare(structures, progress=False, workers=2,
+                                 cache=str(tmp_path / "cache"))
+    np.testing.assert_array_equal(par["input"][0][0], par2["input"][0][0])
