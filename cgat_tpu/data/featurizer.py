@@ -389,7 +389,8 @@ def build_dataset_prepare(data, *, target_property=("e_above_hull", "e_form"),
     it = _maybe_tqdm(
         (featurise_entry(entry, radius=radius, max_nbr=max_neighbor_number,
                          target_property=target_property, cache=cache)
-         for entry in data), progress, total=len(data))
+         for entry in data), progress,
+        total=len(data) if hasattr(data, "__len__") else None)
     return _assemble_prepared(it, target_property, drop_unaries)
 
 
