@@ -6,12 +6,15 @@ chip. The ``dp`` axis carries whole replicas (the reference's DDP,
 train.py:56); the ``edge`` axis partitions each replica's node and edge
 arrays (collated with ``edge_shards`` so every edge block's destinations lie
 in the matching node slice): per-edge tensors and per-node hypernetwork
-weights shrink by the shard count, node features are all-gathered over ICI at
-layer boundaries, and aggregation is purely local. The composition/pooling
-tail is recomputed replicated on every edge cell (tiny (C, ...) work); the
-loss is divided by the edge-axis size so the ``psum`` over ('dp','edge')
-yields exact global gradients — identical to the single-device computation on
-the concatenated batch (tested in test_parallel.py).
+weights shrink by the shard count, aggregation is purely local, and only
+BOUNDARY node features cross the ICI at layer boundaries (static halo
+``all_to_all``, comm ∝ partition boundary — models/cgat.py). Atom pooling
+runs on each cell's local atoms with (C, H, F)-sized collectives completing
+the per-crystal softmax; only the tiny composition/output tail (C rows) is
+replicated. The loss is divided by the edge-axis size so the ``psum`` over
+('dp','edge') yields exact global gradients — identical to the
+single-device computation on the concatenated batch (tested in
+test_parallel.py).
 """
 from __future__ import annotations
 
