@@ -154,11 +154,12 @@ def _fwd_kernel(off_ref, alpha_hbm, m_hbm, dstb_hbm,
 
 def _bwd_kernel(meta_ref, dstb_ref, alpha_ref, m_ref, nodecat_hbm,
                 dalpha_ref, dm_ref, nodecat_s, sems,
-                *, be, hf, span):
+                *, be, hf, span, align):
     j = pl.program_id(0)
     nprog = pl.num_programs(0)
-    # aligned (host-side) first dst node of this edge block
-    n0 = pl.multiple_of(meta_ref[j], 8)
+    # aligned (host-side) first dst node of this edge block; alignment is
+    # the DMA sublane requirement of nodecat's dtype (8 f32 / 16 bf16)
+    n0 = pl.multiple_of(meta_ref[j], align)
     n_real = meta_ref[nprog]
 
     # one DMA + one gather matmul for all three per-node arrays
@@ -167,7 +168,7 @@ def _bwd_kernel(meta_ref, dstb_ref, alpha_ref, m_ref, nodecat_hbm,
     # TPU): step j waits on the slot its predecessor prefetched and starts
     # step j+1's slice into the other slot before computing.
     def slice_dma(slot, idx):
-        base = pl.multiple_of(meta_ref[idx], 8)
+        base = pl.multiple_of(meta_ref[idx], align)
         return pltpu.make_async_copy(nodecat_hbm.at[pl.ds(base, span), :],
                                      nodecat_s.at[slot], sems.at[slot])
 
@@ -189,10 +190,18 @@ def _bwd_kernel(meta_ref, dstb_ref, alpha_ref, m_ref, nodecat_hbm,
     col_ids = jax.lax.broadcasted_iota(jnp.int32, (be, span), 1)
     sel = jnp.where((local == col_ids) & valid, 1.0, 0.0)     # (BE, span)
 
-    cat_e = jax.lax.dot_general(
-        sel, nodecat_s[slot], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST)                  # (BE, 3*HF)
+    if nodecat_s.dtype == jnp.bfloat16:
+        # bf16 compute mode: the gather matmul reads bf16 node slices
+        # (halves the dominant DMA term; the kernel is HBM-bound)
+        cat_e = jax.lax.dot_general(
+            sel.astype(jnp.bfloat16), nodecat_s[slot],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)               # (BE, 3*HF)
+    else:
+        cat_e = jax.lax.dot_general(
+            sel, nodecat_s[slot], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)              # (BE, 3*HF)
     q_e = cat_e[:, 0 * hf:1 * hf]      # g / (den + eps), folded host-side
     max_e = cat_e[:, 1 * hf:2 * hf]
     out_e = cat_e[:, 2 * hf:3 * hf]
@@ -281,22 +290,35 @@ def _vjp_bwd(num_nodes, bn, be, interpret, res, g):
     else:
         while be > 128 and e_tot % (be // 2) == 0:
             be //= 2
-    # a sorted BE-edge block touches at most BE distinct nodes; +8 covers
-    # the sublane alignment of the node-slice DMA start
-    span = be + 8
+    # a sorted BE-edge block touches at most BE distinct nodes; +align
+    # covers the sublane alignment of the node-slice DMA start (8 rows for
+    # f32, 16 for bf16 — Mosaic DMA requirement)
+    bf16 = alpha2.dtype == jnp.bfloat16
+    align = 16 if bf16 else 8
+    span = be + align
     nblocks = e_tot // be
 
     starts = dst2[jnp.arange(nblocks) * be, 0].astype(jnp.int32)
-    starts = (starts // 8) * 8
+    starts = (starts // align) * align
     meta = jnp.concatenate([starts, jnp.asarray([0], jnp.int32)])
     meta = meta.at[-1].set(n_real)
     dstb = _broadcast_dst(dst2)
 
     # fold the cotangent and the softmax denominator into one term: the
     # gather DMA and one-hot matmul shrink from 4*HF to 3*HF wide with no
-    # precision loss (one exact-ish divide; no extra log/exp rounding)
+    # precision loss (one exact-ish divide; no extra log/exp rounding).
+    # bf16 compute mode additionally ships the node slices AND the edge
+    # cotangents in bf16 (the kernel is HBM-bound, docs/PERFORMANCE.md
+    # roofline). Rounding maxv to bf16 scales each node's recomputed
+    # exp(a - max) by exp(max_f32 - max_bf16) relative to the saved
+    # denominator — bounded by |max| * 2^-8, the same order as the bf16
+    # alpha/m rounding the mode already carries (measured vs the XLA bf16
+    # path in tests/test_pallas_kernels.py).
+    io_dtype = jnp.bfloat16 if bf16 else jnp.float32
     q = g / (den + EPS)                                       # (N, HF)
-    nodecat = jnp.concatenate([q, maxv, out], axis=1)         # (N, 3*HF)
+    nodecat = jnp.concatenate(
+        [q.astype(io_dtype), maxv.astype(io_dtype),
+         out.astype(io_dtype)], axis=1)                       # (N, 3*HF)
     nodecat = jnp.pad(nodecat, ((0, span), (0, 0)))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -309,7 +331,7 @@ def _vjp_bwd(num_nodes, bn, be, interpret, res, g):
                          memory_space=pltpu.VMEM),      # alpha
             pl.BlockSpec((be, hf), lambda j, meta: (j, 0),
                          memory_space=pltpu.VMEM),      # m
-            pl.BlockSpec(memory_space=pl.ANY),          # [g|max|den|out]
+            pl.BlockSpec(memory_space=pl.ANY),          # [q|max|out]
         ],
         out_specs=[
             pl.BlockSpec((be, hf), lambda j, meta: (j, 0),
@@ -318,15 +340,16 @@ def _vjp_bwd(num_nodes, bn, be, interpret, res, g):
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, span, 3 * hf), jnp.float32),
+            pltpu.VMEM((2, span, 3 * hf), io_dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
-    kernel = functools.partial(_bwd_kernel, be=be, hf=hf, span=span)
+    kernel = functools.partial(_bwd_kernel, be=be, hf=hf, span=span,
+                               align=align)
     dalpha, dm = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((e_tot, hf), jnp.float32)] * 2,
+        out_shape=[jax.ShapeDtypeStruct((e_tot, hf), io_dtype)] * 2,
         interpret=interpret,
         name="seg_attn_bwd",
     )(meta, dstb, alpha2, m2, nodecat)

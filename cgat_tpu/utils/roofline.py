@@ -67,14 +67,16 @@ def bwd_block_edges(e_tot: int, be: int = 768,
 
 def bwd_kernel_accounting(e_tot: int, hf: int, *, be: int | None = None,
                           dtype_bytes: int = 2) -> dict:
-    """Exact DMA bytes + MXU FLOPs of one fused backward call."""
+    """Exact DMA bytes + MXU FLOPs of one fused backward call. In bf16
+    compute mode (dtype_bytes=2) the nodecat slices and the output
+    cotangents also travel at 2 bytes (round 3)."""
     if be is None:
         be = bwd_block_edges(e_tot)
-    span = be + 8
+    span = be + (16 if dtype_bytes == 2 else 8)
     nblocks = e_tot // be
     read = e_tot * (128 * 4 + 2 * hf * dtype_bytes)       # dst + alpha + m
-    read += nblocks * span * 3 * hf * 4                   # nodecat slices
-    write = 2 * e_tot * hf * 4                            # dalpha, dm
+    read += nblocks * span * 3 * hf * dtype_bytes         # nodecat slices
+    write = 2 * e_tot * hf * dtype_bytes                  # dalpha, dm
     flops = nblocks * 2.0 * be * span * (3 * hf)
     return {"dma_bytes": float(read + write), "mxu_flops": float(flops),
             "block_edges": int(be)}

@@ -127,3 +127,36 @@ def test_backward_block_policy_and_grads(rng):
     for w, g in zip(want, got):
         np.testing.assert_allclose(np.asarray(g), np.asarray(w),
                                    rtol=1e-3, atol=1e-3)
+
+
+def test_bf16_mode_gradients_and_dtypes(rng):
+    """bf16 compute mode: the kernel contracts and ships cotangents in bf16
+    (HBM-bound traffic halving, docs/PERFORMANCE.md roofline). Cotangents
+    must come back bf16 (matching the primal dtype) and stay within the
+    bf16 noise floor of the XLA bf16 path — including the exp-shift error
+    from the bf16-rounded running max (bounded by |max| * 2^-8)."""
+    alpha, m, dst, mask, n = make_problem(rng, n_real_edges=700)
+    alpha = (alpha * 1.5).astype(jnp.bfloat16)   # realistic logit spread
+    m = m.astype(jnp.bfloat16)
+
+    def loss_x(a, mm):
+        return jnp.sum(xla_op(a, mm, dst, n, edge_mask=mask
+                              ).astype(jnp.float32) ** 2)
+
+    def loss_p(a, mm):
+        return jnp.sum(pallas_op(a, mm, dst, n, edge_mask=mask,
+                                 block_nodes=8, block_edges=256,
+                                 interpret=True).astype(jnp.float32) ** 2)
+
+    fx = np.asarray(xla_op(alpha, m, dst, n, edge_mask=mask), np.float32)
+    fp = np.asarray(pallas_op(alpha, m, dst, n, edge_mask=mask,
+                              block_nodes=8, block_edges=256,
+                              interpret=True), np.float32)
+    assert np.linalg.norm(fp - fx) / np.linalg.norm(fx) < 0.02
+
+    gx = jax.grad(loss_x, argnums=(0, 1))(alpha, m)
+    gp = jax.grad(loss_p, argnums=(0, 1))(alpha, m)
+    for a, b in zip(gp, gx):
+        assert a.dtype == jnp.bfloat16
+        a, b = np.asarray(a, np.float32), np.asarray(b, np.float32)
+        assert np.linalg.norm(a - b) / np.linalg.norm(b) < 0.03
