@@ -23,9 +23,14 @@ Design (see /opt/skills/guides/pallas_guide.md):
   constant gives the mathematically identical result; a blockwise shift only
   differs from PyG's per-segment max if logits within one node block span
   more than ~70 (exp underflow), far beyond trained-attention ranges.
-* Destination ids ship as an ``(E, 128)`` lane-broadcast int32 array so every
-  DMA is tile-aligned (Mosaic requires lane width 128 / sublane multiples
-  of 8; a ``(BE, 1)`` slice is not expressible).
+* Membership comes from CSR row pointers, not per-edge destination ids:
+  because edges are dst-sorted, edge ``e`` belongs to node ``n`` iff
+  ``off[n] <= e < off[n+1]`` where ``off`` is the (host-side searchsorted)
+  per-node edge-offset array. Each kernel receives tiny per-block ``lo``/
+  ``hi`` offset rows (int32, one value per one-hot column) instead of the
+  round-2 ``(E, 128)`` lane-broadcast dst array — removing 512 bytes/edge
+  of pure index inflation from both kernels' HBM traffic and the wrapper's
+  XLA-side broadcast materialisation.
 * Custom VJP: the backward is embarrassingly parallel over edge blocks —
   d_alpha_e = p_e * g_n * (m_e - out_n), d_m_e = p_e * g_n — needing only the
   saved per-node shift, cotangent/denominator (folded into one array) and
@@ -58,15 +63,14 @@ INTERPRET = False
 BWD_BLOCK_EDGES: int | None = None
 
 
-def _fwd_kernel(off_ref, alpha_hbm, m_hbm, dstb_hbm,
+def _fwd_kernel(off_ref, alpha_hbm, m_hbm, lo_ref, hi_ref,
                 out_ref, max_ref, den_ref,
-                a_s, m_s, d_s, acc_num, acc_den, run_max, sems,
+                a_s, m_s, acc_num, acc_den, run_max, sems,
                 *, bn, be, hf):
     # a_s/m_s may be bf16 (halved DMA); all arithmetic is f32
     i = pl.program_id(0)
     start = off_ref[i]
     end = off_ref[i + 1]
-    node0 = i * bn
     # DMA starts must be sublane-aligned (8 rows for f32/int32); align down —
     # leading extra edges belong to earlier nodes and never match membership
     start_al = pl.multiple_of((start // 16) * 16, 16)
@@ -76,8 +80,11 @@ def _fwd_kernel(off_ref, alpha_hbm, m_hbm, dstb_hbm,
     acc_den[:] = jnp.zeros((bn, hf), jnp.float32)
     acc_num[:] = jnp.zeros((bn, hf), jnp.float32)
 
-    col_ids = jax.lax.broadcasted_iota(jnp.int32, (be, bn), 1)
     edge_ids = jax.lax.broadcasted_iota(jnp.int32, (be, 1), 0)
+    # lo/hi live whole in VMEM ((nblocks, bn) int32, a few KB); dynamic
+    # SUBLANE slicing is fine on TPU (lane indexing would not be)
+    lo = lo_ref[pl.ds(i, 1), :]                               # (1, BN)
+    hi = hi_ref[pl.ds(i, 1), :]                               # (1, BN)
 
     # double-buffered chunk DMA: slot c%2 computes while slot (c+1)%2 fills
     def chunk_dma(slot, c):
@@ -87,8 +94,6 @@ def _fwd_kernel(off_ref, alpha_hbm, m_hbm, dstb_hbm,
                                   a_s.at[slot], sems.at[slot, 0]),
             pltpu.make_async_copy(m_hbm.at[pl.ds(base, be), :],
                                   m_s.at[slot], sems.at[slot, 1]),
-            pltpu.make_async_copy(dstb_hbm.at[pl.ds(base, be), :],
-                                  d_s.at[slot], sems.at[slot, 2]),
         )
 
     @pl.when(nchunks > 0)
@@ -108,10 +113,15 @@ def _fwd_kernel(off_ref, alpha_hbm, m_hbm, dstb_hbm,
             cp.wait()
 
         base = pl.multiple_of(start_al + c * be, 8)
-        valid = (base + edge_ids) < end                       # (BE, 1)
+        gid = base + edge_ids                                 # (BE, 1)
+        valid = gid < end                                     # (BE, 1)
         validf = valid.astype(jnp.float32)
-        local = jnp.min(d_s[slot], axis=1, keepdims=True) - node0  # (BE, 1)
-        sel = jnp.where((local == col_ids) & valid, 1.0, 0.0)  # (BE, BN)
+        # CSR membership one-hot: edge gid belongs to column n iff
+        # off[node0+n] <= gid < off[node0+n+1] (edges are dst-sorted).
+        # Leading aligned-down edges and trailing beyond-end edges match
+        # no column; padded edges (gid >= n_real) match nothing because
+        # the host clamps off to n_real.
+        sel = jnp.where((gid >= lo) & (gid < hi), 1.0, 0.0)   # (BE, BN)
 
         a = a_s[slot].astype(jnp.float32)
         chunk_max = jnp.max(jnp.where(valid, a, NEG_BIG), axis=0,
@@ -152,25 +162,24 @@ def _fwd_kernel(off_ref, alpha_hbm, m_hbm, dstb_hbm,
     max_ref[:] = jnp.broadcast_to(run_max[0:1, :], (bn, hf))
 
 
-def _bwd_kernel(meta_ref, dstb_ref, alpha_ref, m_ref, nodecat_hbm,
+def _bwd_kernel(meta_ref, alpha_ref, m_ref, lo_ref, hi_ref, nodecat_hbm,
                 dalpha_ref, dm_ref, nodecat_s, sems,
-                *, be, hf, span, align):
+                *, be, hf, span, span_pad, align):
     j = pl.program_id(0)
     nprog = pl.num_programs(0)
-    # aligned (host-side) first dst node of this edge block; alignment is
-    # the DMA sublane requirement of nodecat's dtype (8 f32 / 16 bf16)
-    n0 = pl.multiple_of(meta_ref[j], align)
-    n_real = meta_ref[nprog]
 
     # one DMA + one gather matmul for all three per-node arrays
     # [g/(den+eps) | max | out] concatenated on the feature axis.
     # Double-buffered ACROSS grid steps (scratch + semaphores persist on
     # TPU): step j waits on the slot its predecessor prefetched and starts
-    # step j+1's slice into the other slot before computing.
+    # step j+1's slice into the other slot before computing. The DMA base
+    # (meta) is the host-side first dst node of the block, aligned down to
+    # nodecat's sublane requirement (8 rows f32 / 16 bf16).
     def slice_dma(slot, idx):
         base = pl.multiple_of(meta_ref[idx], align)
         return pltpu.make_async_copy(nodecat_hbm.at[pl.ds(base, span), :],
-                                     nodecat_s.at[slot], sems.at[slot])
+                                     nodecat_s.at[slot, pl.ds(0, span)],
+                                     sems.at[slot])
 
     @pl.when(j == 0)
     def _():
@@ -183,12 +192,22 @@ def _bwd_kernel(meta_ref, dstb_ref, alpha_ref, m_ref, nodecat_hbm,
         slice_dma(1 - slot, j + 1).start()
 
     slice_dma(slot, j).wait()
+    if span_pad > span:
+        # one-hot columns beyond span are exactly zero (hi window padded
+        # with 0), but the matmul still reads those scratch rows — zero
+        # them so stale VMEM (possible NaNs) can't propagate through 0 * x
+        nodecat_s[slot, span:, :] = jnp.zeros(
+            (span_pad - span, 3 * hf), nodecat_s.dtype)
 
+    # CSR membership one-hot (same trick as the forward): edge j*be+e
+    # belongs to column c iff off[n0+c] <= j*be+e < off[n0+c+1]; the lo/hi
+    # windows are host-gathered per block. Padded edges match no column
+    # (off is clamped to n_real), which also yields onseg == 0 for them.
     edge_ids = jax.lax.broadcasted_iota(jnp.int32, (be, 1), 0)
-    valid = (j * be + edge_ids) < n_real                      # (BE, 1)
-    local = jnp.min(dstb_ref[:], axis=1, keepdims=True) - n0  # (BE, 1)
-    col_ids = jax.lax.broadcasted_iota(jnp.int32, (be, span), 1)
-    sel = jnp.where((local == col_ids) & valid, 1.0, 0.0)     # (BE, span)
+    gid = j * be + edge_ids                                   # (BE, 1)
+    lo = lo_ref[pl.ds(j, 1), :]                               # (1, span_pad)
+    hi = hi_ref[pl.ds(j, 1), :]
+    sel = jnp.where((gid >= lo) & (gid < hi), 1.0, 0.0)       # (BE, span_pad)
 
     if nodecat_s.dtype == jnp.bfloat16:
         # bf16 compute mode: the gather matmul reads bf16 node slices
@@ -213,13 +232,11 @@ def _bwd_kernel(meta_ref, dstb_ref, alpha_ref, m_ref, nodecat_hbm,
                      ).astype(dalpha_ref.dtype)
 
 
-def _broadcast_dst(dst2):
-    return jnp.broadcast_to(dst2, (dst2.shape[0], 128))
-
-
-def _compute_offsets(edge_dst, n_real, num_nodes, bn):
-    nblocks = -(-num_nodes // bn)
-    bounds = jnp.arange(1, nblocks + 1, dtype=jnp.int32) * bn
+def _node_offsets(edge_dst, n_real, n_hi):
+    """CSR row pointers: off[n] = first edge with dst >= n, clamped to the
+    real edge count so padded edges (a False-suffix pointing at the last
+    node slot) belong to no node. Shape (n_hi + 1,)."""
+    bounds = jnp.arange(1, n_hi + 1, dtype=jnp.int32)
     off = jnp.searchsorted(edge_dst, bounds, side="left").astype(jnp.int32)
     off = jnp.minimum(off, n_real)
     return jnp.concatenate([jnp.zeros((1,), jnp.int32), off])
@@ -237,26 +254,34 @@ def _fwd_impl(alpha2, m2, dst2, n_real, num_nodes, bn, be, interpret):
     e_tot, hf = alpha2.shape
     nblocks = -(-num_nodes // bn)
     n_pad = nblocks * bn
-    offsets = _compute_offsets(dst2[:, 0], n_real, num_nodes, bn)
+    # per-node CSR pointers; the per-block scalar-prefetch offsets are its
+    # every-bn-th entries, and the lo/hi one-hot bounds are bn-wide rows
+    offn = _node_offsets(dst2[:, 0], n_real, n_pad)           # (n_pad + 1,)
+    offsets = offn[::bn]                                      # (nblocks + 1,)
+    lo = offn[:n_pad].reshape(nblocks, bn)                    # (nb, bn) int32
+    hi = offn[1:].reshape(nblocks, bn)
     # pad one extra chunk so trailing DMA windows never read out of bounds
     alpha2 = jnp.pad(alpha2, ((0, be), (0, 0)))
     m2 = jnp.pad(m2, ((0, be), (0, 0)))
-    dstb = _broadcast_dst(jnp.pad(dst2, ((0, be), (0, 0))))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nblocks,),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 3,
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),          # alpha
+            pl.BlockSpec(memory_space=pl.ANY),          # m
+            pl.BlockSpec(memory_space=pltpu.VMEM),      # lo (whole array)
+            pl.BlockSpec(memory_space=pltpu.VMEM),      # hi (whole array)
+        ],
         out_specs=[pl.BlockSpec((bn, hf), lambda i, off: (i, 0),
                                 memory_space=pltpu.VMEM)] * 3,
         scratch_shapes=[
             pltpu.VMEM((2, be, hf), alpha2.dtype),
             pltpu.VMEM((2, be, hf), m2.dtype),
-            pltpu.VMEM((2, be, 128), jnp.int32),
             pltpu.VMEM((bn, hf), jnp.float32),
             pltpu.VMEM((bn, hf), jnp.float32),
             pltpu.VMEM((8, hf), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, 3)),
+            pltpu.SemaphoreType.DMA((2, 2)),
         ],
     )
     kernel = functools.partial(_fwd_kernel, bn=bn, be=be, hf=hf)
@@ -266,7 +291,7 @@ def _fwd_impl(alpha2, m2, dst2, n_real, num_nodes, bn, be, interpret):
         out_shape=[jax.ShapeDtypeStruct((n_pad, hf), jnp.float32)] * 3,
         interpret=interpret,
         name="seg_attn_fwd",
-    )(offsets, alpha2, m2, dstb)
+    )(offsets, alpha2, m2, lo, hi)
     return out[:num_nodes], maxv[:num_nodes], den[:num_nodes]
 
 
@@ -292,17 +317,25 @@ def _vjp_bwd(num_nodes, bn, be, interpret, res, g):
             be //= 2
     # a sorted BE-edge block touches at most BE distinct nodes; +align
     # covers the sublane alignment of the node-slice DMA start (8 rows for
-    # f32, 16 for bf16 — Mosaic DMA requirement)
+    # f32, 16 for bf16 — Mosaic DMA requirement). The one-hot's lane axis
+    # is padded up to span_pad with guaranteed-zero columns (hi window 0).
     bf16 = alpha2.dtype == jnp.bfloat16
     align = 16 if bf16 else 8
     span = be + align
+    span_pad = -(-span // 128) * 128
     nblocks = e_tot // be
 
     starts = dst2[jnp.arange(nblocks) * be, 0].astype(jnp.int32)
     starts = (starts // align) * align
-    meta = jnp.concatenate([starts, jnp.asarray([0], jnp.int32)])
-    meta = meta.at[-1].set(n_real)
-    dstb = _broadcast_dst(dst2)
+    meta = starts
+    # per-block CSR windows for the membership one-hot: column c of block j
+    # covers edges [off[starts_j + c], off[starts_j + c + 1])
+    offn = _node_offsets(dst2[:, 0], n_real, num_nodes + span)
+    cidx = starts[:, None] + jnp.arange(span + 1, dtype=jnp.int32)[None, :]
+    offw = offn[cidx]                                   # (nblocks, span + 1)
+    lane_pad = ((0, 0), (0, span_pad - span))
+    lo_win = jnp.pad(offw[:, :span], lane_pad)
+    hi_win = jnp.pad(offw[:, 1:], lane_pad)
 
     # fold the cotangent and the softmax denominator into one term: the
     # gather DMA and one-hot matmul shrink from 4*HF to 3*HF wide with no
@@ -325,12 +358,12 @@ def _vjp_bwd(num_nodes, bn, be, interpret, res, g):
         num_scalar_prefetch=1,
         grid=(nblocks,),
         in_specs=[
-            pl.BlockSpec((be, 128), lambda j, meta: (j, 0),
-                         memory_space=pltpu.VMEM),      # dst broadcast
             pl.BlockSpec((be, hf), lambda j, meta: (j, 0),
                          memory_space=pltpu.VMEM),      # alpha
             pl.BlockSpec((be, hf), lambda j, meta: (j, 0),
                          memory_space=pltpu.VMEM),      # m
+            pl.BlockSpec(memory_space=pltpu.VMEM),      # lo windows (whole)
+            pl.BlockSpec(memory_space=pltpu.VMEM),      # hi windows (whole)
             pl.BlockSpec(memory_space=pl.ANY),          # [q|max|out]
         ],
         out_specs=[
@@ -340,19 +373,19 @@ def _vjp_bwd(num_nodes, bn, be, interpret, res, g):
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, span, 3 * hf), io_dtype),
+            pltpu.VMEM((2, span_pad, 3 * hf), io_dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     kernel = functools.partial(_bwd_kernel, be=be, hf=hf, span=span,
-                               align=align)
+                               span_pad=span_pad, align=align)
     dalpha, dm = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((e_tot, hf), io_dtype)] * 2,
         interpret=interpret,
         name="seg_attn_bwd",
-    )(meta, dstb, alpha2, m2, nodecat)
+    )(meta, alpha2, m2, lo_win, hi_win, nodecat)
     return dalpha, dm, None, None
 
 

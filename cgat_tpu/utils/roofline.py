@@ -34,9 +34,10 @@ def fwd_kernel_accounting(edge_dst, n_real: int, num_nodes: int, hf: int,
     """Exact DMA bytes + MXU FLOPs of one fused forward call.
 
     Mirrors _fwd_kernel's chunking: per node block, edges [start_al, end)
-    are DMA'd in ``be``-edge chunks (alpha + m at ``dtype_bytes`` plus the
-    (be, 128) int32 lane-broadcast dst array); each chunk does one
-    (be, bn) x (be, 2*hf) one-hot contraction.
+    are DMA'd in ``be``-edge chunks (alpha + m at ``dtype_bytes``); each
+    chunk does one (be, bn) x (be, 2*hf) one-hot contraction whose
+    membership comes from per-block CSR lo/hi rows (2 x bn int32 per
+    block — round 3 replaced the (be, 128) lane-broadcast dst array).
     """
     dst = np.asarray(edge_dst)[:n_real]
     nblocks = -(-num_nodes // bn)
@@ -48,7 +49,7 @@ def fwd_kernel_accounting(edge_dst, n_real: int, num_nodes: int, hf: int,
         start_al = (off[i] // 16) * 16
         chunks += max(0, -(-(off[i + 1] - start_al) // be))
     n_pad = nblocks * bn
-    read = chunks * be * (2 * hf * dtype_bytes + 128 * 4)
+    read = chunks * be * (2 * hf * dtype_bytes) + nblocks * 2 * bn * 4
     write = 3 * n_pad * hf * 4                    # out, max, den (f32)
     flops = chunks * 2.0 * be * bn * (2 * hf)
     return {"dma_bytes": float(read + write), "mxu_flops": float(flops),
@@ -69,15 +70,19 @@ def bwd_kernel_accounting(e_tot: int, hf: int, *, be: int | None = None,
                           dtype_bytes: int = 2) -> dict:
     """Exact DMA bytes + MXU FLOPs of one fused backward call. In bf16
     compute mode (dtype_bytes=2) the nodecat slices and the output
-    cotangents also travel at 2 bytes (round 3)."""
+    cotangents also travel at 2 bytes; membership comes from per-block
+    CSR lo/hi windows (2 x span_pad int32 per block) instead of the
+    (E, 128) dst broadcast (both round 3)."""
     if be is None:
         be = bwd_block_edges(e_tot)
     span = be + (16 if dtype_bytes == 2 else 8)
+    span_pad = -(-span // 128) * 128
     nblocks = e_tot // be
-    read = e_tot * (128 * 4 + 2 * hf * dtype_bytes)       # dst + alpha + m
+    read = e_tot * 2 * hf * dtype_bytes                   # alpha + m
     read += nblocks * span * 3 * hf * dtype_bytes         # nodecat slices
+    read += nblocks * 2 * span_pad * 4                    # lo/hi windows
     write = 2 * e_tot * hf * dtype_bytes                  # dalpha, dm
-    flops = nblocks * 2.0 * be * span * (3 * hf)
+    flops = nblocks * 2.0 * be * span_pad * (3 * hf)
     return {"dma_bytes": float(read + write), "mxu_flops": float(flops),
             "block_edges": int(be)}
 
@@ -208,7 +213,7 @@ def measure_kernels(batch_size: int = 64, iters: int = 20, trials: int = 0):
         "config": {"batch": batch_size, "edge_slots": e_slots,
                    "real_edges": n_real, "node_slots": num_nodes, "hf": hf},
         "fwd": {**facct, **summarize(facct, t_fwd, bf16_matmul=True)},
-        "bwd": {**bacct, **summarize(bacct, t_bwd)},
+        "bwd": {**bacct, **summarize(bacct, t_bwd, bf16_matmul=True)},
         "xla_wrapper_us_per_call": round(wrapper / 3 * 1e6, 1),
     }
 
