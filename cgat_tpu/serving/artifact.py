@@ -1,0 +1,239 @@
+"""Serving-oriented inference export: self-contained prediction artifacts.
+
+Beyond the reference (whose inference story is an in-process loop over a
+live ``LightningModel``, reference CGAT/predict.py:10-40): ``export_artifact``
+freezes a trained checkpoint into a directory containing
+
+* ``params.npz``       — flat, dependency-light parameter arrays,
+* ``fn_*.bin``         — ``jax.export``-serialized StableHLO prediction
+                         functions, lowered AHEAD OF TIME for the requested
+                         platforms (default tpu + cpu) at a fixed family of
+                         batch shape signatures, and
+* ``manifest.json``    — model/collate config, normalisation, signature table.
+
+``load_artifact`` reconstructs a :class:`ServingModel` that predicts without
+re-tracing flax model code — deserialized executables start serving after a
+single device compile of the pre-lowered module, with no Python model graph
+on the hot path. Shapes are static by construction (XLA), so the artifact
+advertises its signature table and the loader buckets incoming crystals to
+the smallest matching signature.
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Sequence
+
+import numpy as np
+
+_MANIFEST = "manifest.json"
+_PARAMS = "params.npz"
+_FORMAT = 1
+
+
+def _flatten_params(params, prefix=""):
+    out = {}
+    for k, v in params.items():
+        key = f"{prefix}/{k}" if prefix else str(k)
+        if isinstance(v, dict):
+            out.update(_flatten_params(v, key))
+        else:
+            out[key] = np.asarray(v)
+    return out
+
+
+def _unflatten_params(flat):
+    tree: dict = {}
+    for key, arr in flat.items():
+        node = tree
+        parts = key.split("/")
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = arr
+    return tree
+
+
+def _sig_key(num_graphs, num_node_slots):
+    return f"c{num_graphs}_n{num_node_slots}"
+
+
+def _batch_dict(batch):
+    """CrystalBatch -> plain dict of arrays (None fields dropped) for the
+    jax.export boundary."""
+    d = {f.name: getattr(batch, f.name)
+         for f in dataclasses.fields(batch)}
+    return {k: v for k, v in d.items() if v is not None}
+
+
+def _template_batch(C, N, E, R, orig_fea, dtype=np.float32):
+    """A zero CrystalBatch with the signature's exact static shapes (only
+    shapes/dtypes matter — export lowers abstractly)."""
+    from ..data.batching import CrystalBatch
+    z = np.zeros
+    return CrystalBatch(
+        nodes=z((N, orig_fea), dtype),
+        node_mask=z((N,), bool),
+        node2graph=z((N,), np.int32),
+        edge_src=z((E,), np.int32),
+        edge_dst=z((E,), np.int32),
+        edge_shell=z((E,), np.int32),
+        edge_mask=z((E,), bool),
+        comp_fea=z((C, R, orig_fea), dtype),
+        comp_weight=z((C, R), dtype),
+        comp_mask=z((C, R), bool),
+        target=z((C,), dtype),
+        graph_mask=z((C,), bool),
+    )
+
+
+def export_artifact(run_dir: str, out_dir: str, *, tag: str = "best",
+                    batch_size: int | None = None,
+                    node_buckets: Sequence[int] | None = None,
+                    platforms: Sequence[str] = ("tpu", "cpu")) -> dict:
+    """Export a trained run directory into a serving artifact.
+
+    ``node_buckets``: node-slot counts to pre-lower (each paired with
+    ``E = N * max_nbr`` edge slots — the featurizer emits exactly
+    ``max_nbr`` neighbors per atom, reference prepare_data.py:146-157, so
+    that capacity always suffices). Defaults to {1, 2, 4} x the trainer's
+    node bucket. Returns the manifest dict.
+    """
+    import jax
+    from jax import export as jexport
+
+    from ..models import CGATConfig, CGAtNet
+    from ..training.trainer import CheckpointManager, TrainerConfig
+
+    params, meta = CheckpointManager.load(run_dir, tag=tag)
+    tcfg = TrainerConfig(**{k: (None if v == "None" else v)
+                            for k, v in meta["trainer_config"].items()
+                            if k in TrainerConfig.__dataclass_fields__})
+    mcfg_d = dict(meta["model_config"])
+    mcfg_d["out_hidden"] = tuple(mcfg_d.get("out_hidden", ()))
+    mcfg = CGATConfig(**{k: v for k, v in mcfg_d.items()
+                         if k in CGATConfig.__dataclass_fields__})
+    model = CGAtNet(mcfg)
+    mean, std = float(meta["mean"]), float(meta["std"])
+
+    C = int(batch_size or tcfg.batch_size)
+    if node_buckets is None:
+        node_buckets = (tcfg.node_bucket, 2 * tcfg.node_bucket,
+                        4 * tcfg.node_bucket)
+    node_buckets = sorted({int(n) for n in node_buckets})
+    R = int(tcfg.num_comp_slots)
+    orig_fea = int(mcfg.orig_elem_fea_len)
+    max_nbr = int(tcfg.max_nbr)
+
+    # the export boundary carries plain dicts (jax.export can only
+    # serialize registered pytree types, not the CrystalBatch struct)
+    def predict_fn(p, batch_dict):
+        from ..data.batching import CrystalBatch
+        batch = CrystalBatch(**batch_dict)
+        out = model.apply({"params": p}, batch)
+        emb = model.apply({"params": p}, batch, return_graph_embedding=True)
+        return {"pred": out[:, 0] * std + mean, "log_std": out[:, 1],
+                "embedding": emb}
+
+    os.makedirs(out_dir, exist_ok=True)
+    sigs = []
+    for N in node_buckets:
+        E = N * max_nbr
+        tmpl = _batch_dict(_template_batch(C, N, E, R, orig_fea))
+        exp = jexport.export(jax.jit(predict_fn),
+                             platforms=list(platforms))(params, tmpl)
+        key = _sig_key(C, N)
+        fname = f"fn_{key}.bin"
+        with open(os.path.join(out_dir, fname), "wb") as f:
+            f.write(exp.serialize())
+        sigs.append({"key": key, "num_graphs": C, "num_node_slots": N,
+                     "num_edge_slots": E, "num_comp_slots": R,
+                     "file": fname})
+
+    flat = _flatten_params(params)
+    np.savez_compressed(os.path.join(out_dir, _PARAMS), **flat)
+    manifest = {
+        "format": _FORMAT,
+        "mean": mean, "std": std,
+        "model_config": dataclasses.asdict(mcfg),
+        "collate": {"max_nbr": max_nbr, "num_comp_slots": R,
+                    "orig_fea": orig_fea, "node_bucket": tcfg.node_bucket,
+                    "fea_path": tcfg.fea_path, "target": tcfg.target},
+        "platforms": list(platforms),
+        "signatures": sigs,
+        "source_run": os.path.abspath(run_dir),
+        "checkpoint_tag": tag,
+        "checkpoint_epoch": meta.get("epoch"),
+        "val_mae": meta.get("val_mae"),
+    }
+    with open(os.path.join(out_dir, _MANIFEST), "w") as f:
+        json.dump(manifest, f, indent=2)
+    return manifest
+
+
+class ServingModel:
+    """A loaded artifact: bucketed, batched, denormalised prediction with
+    no flax tracing on the hot path (pre-lowered StableHLO executables)."""
+
+    def __init__(self, manifest: dict, params, fns: dict):
+        self.manifest = manifest
+        self.params = params
+        self._fns = fns                      # sig key -> deserialized Exported
+        self.signatures = sorted(manifest["signatures"],
+                                 key=lambda s: s["num_node_slots"])
+        self.mean = manifest["mean"]
+        self.std = manifest["std"]
+
+    def _pick(self, n_atoms: int) -> dict:
+        for sig in self.signatures:
+            if sig["num_node_slots"] >= n_atoms:
+                return sig
+        raise ValueError(
+            f"batch needs {n_atoms} node slots but the artifact's largest "
+            f"signature has {self.signatures[-1]['num_node_slots']}; "
+            f"re-export with a bigger node bucket")
+
+    def predict(self, graphs, *, return_embeddings: bool = False):
+        """Denormalised predictions in input order (tail batches padded, so
+        every crystal gets a prediction). ``graphs``: CrystalGraph list."""
+        from ..data.batching import collate
+        col = self.manifest["collate"]
+        C = self.signatures[0]["num_graphs"]
+        preds, log_stds, embs = [], [], []
+        for i in range(0, len(graphs), C):
+            chunk = graphs[i:i + C]
+            sig = self._pick(sum(g.n_atoms for g in chunk))
+            batch = collate(chunk,
+                            num_graphs=sig["num_graphs"],
+                            num_node_slots=sig["num_node_slots"],
+                            num_edge_slots=sig["num_edge_slots"],
+                            num_comp_slots=sig["num_comp_slots"],
+                            max_nbr=col["max_nbr"],
+                            orig_fea=col["orig_fea"])
+            out = self._fns[sig["key"]].call(self.params,
+                                             _batch_dict(batch))
+            mask = np.asarray(batch.graph_mask)
+            preds.append(np.asarray(out["pred"])[mask])
+            log_stds.append(np.asarray(out["log_std"])[mask])
+            if return_embeddings:
+                embs.append(np.asarray(out["embedding"])[mask])
+        cat = (lambda xs: np.concatenate(xs) if xs
+               else np.zeros((0,), np.float32))
+        if return_embeddings:
+            return cat(preds), cat(log_stds), cat(embs)
+        return cat(preds), cat(log_stds)
+
+
+def load_artifact(artifact_dir: str) -> ServingModel:
+    from jax import export as jexport
+    with open(os.path.join(artifact_dir, _MANIFEST)) as f:
+        manifest = json.load(f)
+    if manifest.get("format") != _FORMAT:
+        raise ValueError(f"unknown artifact format {manifest.get('format')}")
+    with np.load(os.path.join(artifact_dir, _PARAMS)) as z:
+        params = _unflatten_params({k: z[k] for k in z.files})
+    fns = {}
+    for sig in manifest["signatures"]:
+        with open(os.path.join(artifact_dir, sig["file"]), "rb") as f:
+            fns[sig["key"]] = jexport.deserialize(f.read())
+    return ServingModel(manifest, params, fns)

@@ -821,8 +821,19 @@ class CheckpointManager:
         d = CheckpointManager._resolve(ckpt_dir)
         with open(os.path.join(d, f"{tag}.json")) as f:
             meta = json.load(f)
+        path = os.path.join(d, tag)
         with ocp.PyTreeCheckpointer() as ckptr:
-            tree = ckptr.restore(os.path.join(d, tag))
+            # restore as HOST numpy arrays: restoring as jax.Arrays needs
+            # the saved sharding to resolve in THIS process, which fails
+            # when the restoring process's device topology differs from
+            # the saving one (e.g. train on TPU, cgat-export/predict in a
+            # fresh CPU process). Device placement happens lazily on first
+            # use instead.
+            mtree = ckptr.metadata(path)
+            mtree = getattr(mtree, "item_metadata", mtree)
+            args = jax.tree.map(
+                lambda _: ocp.RestoreArgs(restore_type=np.ndarray), mtree)
+            tree = ckptr.restore(path, restore_args=args)
         return tree["params"], meta
 
     @staticmethod
@@ -835,8 +846,13 @@ class CheckpointManager:
         d = CheckpointManager._resolve(ckpt_dir)
         item = {"params": template.params, "step": template.step,
                 "opt_state": template.opt_state}
+        # numpy restore for cross-process safety (see load()); the template
+        # supplies the pytree structure so optax NamedTuples round-trip
+        args = jax.tree.map(
+            lambda _: ocp.RestoreArgs(restore_type=np.ndarray), item)
         with ocp.PyTreeCheckpointer() as ckptr:
-            tree = ckptr.restore(os.path.join(d, tag), item=item)
+            tree = ckptr.restore(os.path.join(d, tag), item=item,
+                                 restore_args=args)
         return template.replace(params=tree["params"], step=tree["step"],
                                 opt_state=tree["opt_state"])
 
