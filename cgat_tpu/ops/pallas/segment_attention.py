@@ -63,6 +63,16 @@ INTERPRET = False
 BWD_BLOCK_EDGES: int | None = None
 
 
+def _bwd_block(e_tot: int, be: int) -> int:
+    """The backward's edge-block policy (shared so the forward can size the
+    CSR offsets array it stashes for the backward)."""
+    if BWD_BLOCK_EDGES and e_tot % BWD_BLOCK_EDGES == 0:
+        return BWD_BLOCK_EDGES
+    while be > 128 and e_tot % (be // 2) == 0:
+        be //= 2
+    return be
+
+
 def _fwd_kernel(off_ref, alpha_hbm, m_hbm, lo_ref, hi_ref,
                 out_ref, max_ref, den_ref,
                 a_s, m_s, acc_num, acc_den, run_max, sems,
@@ -245,8 +255,8 @@ def _node_offsets(edge_dst, n_real, n_hi):
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
 def _edge_softmax_aggregate(alpha2, m2, dst2, n_real, num_nodes, bn, be,
                             interpret):
-    out, _, _ = _fwd_impl(alpha2, m2, dst2, n_real, num_nodes, bn, be,
-                          interpret)
+    out, _, _, _ = _fwd_impl(alpha2, m2, dst2, n_real, num_nodes, bn, be,
+                             interpret)
     return out
 
 
@@ -254,12 +264,17 @@ def _fwd_impl(alpha2, m2, dst2, n_real, num_nodes, bn, be, interpret):
     e_tot, hf = alpha2.shape
     nblocks = -(-num_nodes // bn)
     n_pad = nblocks * bn
-    # per-node CSR pointers; the per-block scalar-prefetch offsets are its
-    # every-bn-th entries, and the lo/hi one-hot bounds are bn-wide rows
-    offn = _node_offsets(dst2[:, 0], n_real, n_pad)           # (n_pad + 1,)
-    offsets = offn[::bn]                                      # (nblocks + 1,)
+    # per-node CSR pointers, computed ONCE per op: long enough for both the
+    # forward's (n_pad) rows and the backward's windows (num_nodes + its
+    # span), so the backward reuses it from the residuals instead of
+    # re-running the searchsorted (wrapper cost, roofline.py)
+    n_hi = max(n_pad, num_nodes + _bwd_block(e_tot, be) + 16)
+    offn = _node_offsets(dst2[:, 0], n_real, n_hi)            # (n_hi + 1,)
+    # the per-block scalar-prefetch offsets are its every-bn-th entries,
+    # and the lo/hi one-hot bounds are bn-wide rows
+    offsets = offn[:n_pad + 1:bn]                             # (nblocks + 1,)
     lo = offn[:n_pad].reshape(nblocks, bn)                    # (nb, bn) int32
-    hi = offn[1:].reshape(nblocks, bn)
+    hi = offn[1:n_pad + 1].reshape(nblocks, bn)
     # pad one extra chunk so trailing DMA windows never read out of bounds
     alpha2 = jnp.pad(alpha2, ((0, be), (0, 0)))
     m2 = jnp.pad(m2, ((0, be), (0, 0)))
@@ -292,17 +307,17 @@ def _fwd_impl(alpha2, m2, dst2, n_real, num_nodes, bn, be, interpret):
         interpret=interpret,
         name="seg_attn_fwd",
     )(offsets, alpha2, m2, lo, hi)
-    return out[:num_nodes], maxv[:num_nodes], den[:num_nodes]
+    return out[:num_nodes], maxv[:num_nodes], den[:num_nodes], offn
 
 
 def _vjp_fwd(alpha2, m2, dst2, n_real, num_nodes, bn, be, interpret):
-    out, maxv, den = _fwd_impl(alpha2, m2, dst2, n_real, num_nodes, bn, be,
-                               interpret)
-    return out, (alpha2, m2, dst2, n_real, maxv, den, out)
+    out, maxv, den, offn = _fwd_impl(alpha2, m2, dst2, n_real, num_nodes,
+                                     bn, be, interpret)
+    return out, (alpha2, m2, dst2, n_real, maxv, den, out, offn)
 
 
 def _vjp_bwd(num_nodes, bn, be, interpret, res, g):
-    alpha2, m2, dst2, n_real, maxv, den, out = res
+    alpha2, m2, dst2, n_real, maxv, den, out, offn = res
     e_tot, hf = alpha2.shape
     # much smaller blocks than fwd: the gather matmul is (BE, BE+8) x
     # (BE+8, 3*HF), so total backward gather FLOPs scale with E*(BE+8) —
@@ -310,11 +325,7 @@ def _vjp_bwd(num_nodes, bn, be, interpret, res, g):
     # Measured on v5e (flagship fwd+bwd, interleaved min-of-trials):
     # 256 -> 7.96 ms, 192 -> 7.28, 96 -> 6.59 (knee), 64 -> 6.77, 32 -> 7.09;
     # full train step +4.7% sparse / +5.5% dense at 96 vs 192.
-    if BWD_BLOCK_EDGES and e_tot % BWD_BLOCK_EDGES == 0:
-        be = BWD_BLOCK_EDGES
-    else:
-        while be > 128 and e_tot % (be // 2) == 0:
-            be //= 2
+    be = _bwd_block(e_tot, be)
     # a sorted BE-edge block touches at most BE distinct nodes; +align
     # covers the sublane alignment of the node-slice DMA start (8 rows for
     # f32, 16 for bf16 — Mosaic DMA requirement). The one-hot's lane axis
@@ -329,8 +340,13 @@ def _vjp_bwd(num_nodes, bn, be, interpret, res, g):
     starts = (starts // align) * align
     meta = starts
     # per-block CSR windows for the membership one-hot: column c of block j
-    # covers edges [off[starts_j + c], off[starts_j + c + 1])
-    offn = _node_offsets(dst2[:, 0], n_real, num_nodes + span)
+    # covers edges [off[starts_j + c], off[starts_j + c + 1]). offn comes
+    # from the forward's residuals (computed once per op, length
+    # >= num_nodes + span + 1 by construction in _fwd_impl — unless a
+    # BWD_BLOCK_EDGES override makes the backward block exceed the
+    # forward's, in which case recompute a long-enough version).
+    if offn.shape[0] < num_nodes + span + 1:
+        offn = _node_offsets(dst2[:, 0], n_real, num_nodes + span)
     cidx = starts[:, None] + jnp.arange(span + 1, dtype=jnp.int32)[None, :]
     offw = offn[cidx]                                   # (nblocks, span + 1)
     lane_pad = ((0, 0), (0, span_pad - span))
