@@ -92,7 +92,7 @@ def analytic_forward_flops(cfg, n_nodes: int, n_edge_slots: int,
 
 
 def build(batch_size: int = 64, compute_dtype: str = "bfloat16",
-          full_degree: bool = False):
+          full_degree: bool = False, steps_per_dispatch: int = 1):
     from cgat_tpu.ops import attention as _att
     if jax.default_backend() == "tpu":
         _att.set_backend("pallas")  # 2.1x the XLA step (honest measurement)
@@ -124,24 +124,41 @@ def build(batch_size: int = 64, compute_dtype: str = "bfloat16",
     state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
                        opt_state=tx.init(params))
     criterion = losses.make_loss("L1", False)
-    step = make_train_step(model, tx, criterion, 0.0, 1.0, donate=True)
+    if steps_per_dispatch > 1:
+        # unrolled K-step dispatch (production trainer path for
+        # steps_per_dispatch > 1): amortises the ~4.6 ms host/tunnel cost
+        # of dispatching the 1129-leaf state; measured +4.3% at K=2
+        from cgat_tpu.training.trainer import make_multi_step
+        mstep = make_multi_step(model, tx, criterion, 0.0, 1.0, donate=True,
+                                unroll=True)
+        stacked = jax.tree.map(
+            lambda x: jnp.stack([x] * steps_per_dispatch)
+            if x is not None else None, batch)
+
+        def step(state, _batch):
+            return mstep(state, stacked)
+    else:
+        step = make_train_step(model, tx, criterion, 0.0, 1.0, donate=True)
     return step, state, batch, n_real_edges, fwd_flops
 
 
 def measure(batch_size: int, compute_dtype: str = "bfloat16",
-            n_iters: int = 20, trials: int = 3, full_degree: bool = False):
+            n_iters: int = 20, trials: int = 3, full_degree: bool = False,
+            steps_per_dispatch: int = 1):
     step, state, batch, n_edges, fwd_flops = build(batch_size, compute_dtype,
-                                                   full_degree)
+                                                   full_degree,
+                                                   steps_per_dispatch)
     state, m = step(state, batch)
     _ = float(m["loss"])  # compile + sync
+    n_disp = max(2, n_iters // steps_per_dispatch)
     best = float("inf")
     for _trial in range(trials):
         t0 = time.perf_counter()
-        for _ in range(n_iters):
+        for _ in range(n_disp):
             state, m = step(state, batch)
         _ = float(m["loss"])  # forces execution of the whole chain
         best = min(best, time.perf_counter() - t0)
-    sec_per_step = best / n_iters
+    sec_per_step = best / (n_disp * steps_per_dispatch)
     # fwd + bwd ~ 3x forward FLOPs (bwd does 2 matmuls per fwd matmul)
     step_flops = 3.0 * fwd_flops
     return {
@@ -232,13 +249,13 @@ def main():
     # loop so the chain really ran.
     _ = float(jnp.sum(jnp.ones((4,))))
     try:
-        r64 = measure(64)
+        r64 = measure(64, steps_per_dispatch=2)
     except Exception as e:  # transient tunnel flake: one retry after a pause
         import sys
         print(f"headline measure failed ({type(e).__name__}), retrying...",
               file=sys.stderr, flush=True)
         time.sleep(30)
-        r64 = measure(64)
+        r64 = measure(64, steps_per_dispatch=2)
     extras = {}
     for key, kwargs in (
             ("edges_per_sec_f32", dict(batch_size=64, compute_dtype="float32",
@@ -278,7 +295,7 @@ def main():
     # the tunnel's dispatch RTT drifts over minutes, swinging per-process
     # readings ~15%; re-measure the headline config at the end and keep the
     # better draw (min-of-trials within a process cannot cancel RTT drift)
-    r64b = measure(64)
+    r64b = measure(64, steps_per_dispatch=2)
     if r64b["edges_per_sec"] > r64["edges_per_sec"]:
         r64 = r64b
     edges_per_sec = r64["edges_per_sec"]

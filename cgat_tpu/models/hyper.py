@@ -85,6 +85,13 @@ class HyperLinear(nn.Module):
         w = params[..., : self.in_ch * self.out_ch]
         b = params[..., self.in_ch * self.out_ch:]
         w = w.reshape(-1, self.out_ch, self.in_ch)
+        # Note on layout (measured round 3, docs/PERFORMANCE.md): the
+        # (B, out, in) view of the FCBlock's flat output forces XLA to
+        # re-tile every predicted weight tensor (~25 MB/call, 755 MB/step
+        # at flagship dims of copy-done). The copies are inherent to
+        # materialising a per-sample weight tensor on TPU — an equivalent
+        # mul+reduce formulation canonicalises to the identical HLO, and
+        # the bilinear structure reappears in the backward regardless.
         return jnp.einsum("boi,bi->bo", w, jnp.asarray(x, self.dtype)) + b
 
 

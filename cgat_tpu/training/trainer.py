@@ -245,13 +245,17 @@ def make_train_step(model: CGAtNet, tx, criterion, mean: float, std: float,
 
 def make_multi_step(model: CGAtNet, tx, criterion, mean: float, std: float,
                     donate: bool = True, dropout: bool = False,
-                    seed: int = 0):
-    """K train steps fused into ONE dispatch via lax.scan over a stacked
-    batch (leading axis = step). Amortises per-dispatch overhead — essential
-    on runtimes with high dispatch latency (e.g. the axon TPU tunnel, ~43 ms
-    per dispatch) and standard practice for small-step models on TPU.
-    Returns per-chunk mean metrics (exact when all steps carry equal graph
-    counts, which drop_last batching guarantees)."""
+                    seed: int = 0, unroll: bool = True):
+    """K train steps fused into ONE dispatch over a stacked batch (leading
+    axis = step). Amortises per-dispatch overhead — a donated dispatch of
+    the 1129-leaf flagship train state costs ~4.6 ms of pure host/tunnel
+    time on axon (measured round 3), ~25% of the step. ``unroll=True``
+    (default) chains the K steps as straight-line XLA code, so the state
+    threads through SSA with no copies; ``unroll=False`` uses lax.scan,
+    whose 750 MB carry is copied every iteration (measured +9.7 ms/step —
+    rejected, kept for memory-constrained very large K). Returns per-chunk
+    mean metrics (exact when all steps carry equal graph counts, which
+    drop_last batching guarantees)."""
 
     def one_step(state: TrainState, batch: CrystalBatch):
         def loss_fn(params):
@@ -275,6 +279,15 @@ def make_multi_step(model: CGAtNet, tx, criterion, mean: float, std: float,
                              opt_state=opt_state), metrics
 
     def multi(state: TrainState, stacked: CrystalBatch):
+        if unroll:
+            k_steps = jax.tree.leaves(stacked)[0].shape[0]
+            ms = []
+            for k in range(k_steps):
+                batch_k = jax.tree.map(lambda x: x[k], stacked)
+                state, m = one_step(state, batch_k)
+                ms.append(m)
+            return state, jax.tree.map(
+                lambda *xs: jnp.mean(jnp.stack(xs)), *ms)
         state, ms = jax.lax.scan(one_step, state, stacked)
         return state, jax.tree.map(jnp.mean, ms)
 
@@ -541,7 +554,7 @@ class Trainer:
             n_replicas = mesh.shape["dp"]
         elif cfg.steps_per_dispatch > 1:
             # fuse K steps per dispatch: stacked batches via the same grouped
-            # loader the dp path uses, consumed by lax.scan instead of a mesh
+            # loader the dp path uses, consumed by an unrolled K-step jit
             train_step = make_multi_step(self.model, self.tx, self.criterion,
                                          self.mean, self.std,
                                          dropout=self.model_cfg.dropout > 0,

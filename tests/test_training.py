@@ -305,11 +305,29 @@ def test_multi_step_scan_matches_single_steps(tmp_path):
 
 
 def test_fit_with_steps_per_dispatch(tmp_path):
-    trainer, _ = make_trainer(ckpt_dir=str(tmp_path))
-    trainer.cfg.steps_per_dispatch = 2
-    state = trainer.fit(epochs=2)
+    """The unrolled K-step dispatch must reproduce the single-step
+    trajectory exactly (same batches, same update order — only the jit
+    boundary moves)."""
+    import json
     import os
-    assert os.path.exists(os.path.join(trainer.last_log_dir, "metrics.jsonl"))
+
+    def run(spd, name):
+        trainer, _ = make_trainer(ckpt_dir=str(tmp_path / name),
+                                  run_name=name)
+        trainer.cfg.steps_per_dispatch = spd
+        state = trainer.fit(epochs=2)
+        ms = [json.loads(l) for l in
+              open(os.path.join(trainer.last_log_dir, "metrics.jsonl"))]
+        return state, [m["train_loss"] for m in ms if "train_loss" in m]
+
+    s1, tl1 = run(1, "spd1")
+    s2, tl2 = run(2, "spd2")
+    np.testing.assert_allclose(tl2, tl1, rtol=1e-4)
+    # params agree to f32 reassociation noise (XLA fuses differently
+    # across the unrolled jit boundary; measured max ~3e-5 after 4 epochs)
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-3, atol=1e-4)
 
 
 def test_average_meter_and_normalizer():
