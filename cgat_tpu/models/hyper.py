@@ -46,7 +46,11 @@ class FCBlock(nn.Module):
     dtype: jnp.dtype | None = None
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, apply_last=None):
+        """``apply_last``: optional ``f(hidden, kernel, bias)`` replacing the
+        plain last Linear — lets HyperLinear fuse the prediction with the
+        per-sample apply (ops/pallas/hyper_apply.py) without moving the
+        parameters out of this module's tree."""
         for i in range(1 + self.num_hidden_layers):
             fan_in = x.shape[-1]
             k = self.param(f"fc_{i}_kernel", _kaiming_normal_init,
@@ -60,6 +64,10 @@ class FCBlock(nn.Module):
         k = self.param("fc_last_kernel", init, (fan_in, self.out_features))
         b = self.param("fc_last_bias", torch_linear_bias_init(fan_in),
                        (self.out_features,))
+        if apply_last is not None:
+            return apply_last(jnp.asarray(x, self.dtype),
+                              jnp.asarray(k, self.dtype),
+                              jnp.asarray(b, self.dtype))
         return jnp.asarray(x, self.dtype) @ jnp.asarray(k, self.dtype) + jnp.asarray(b, self.dtype)
 
 
@@ -78,20 +86,30 @@ class HyperLinear(nn.Module):
 
     @nn.compact
     def __call__(self, cond, x):
-        params = FCBlock(self.hyper_hidden_ch, self.hyper_num_hidden_layers,
-                         self.in_ch * self.out_ch + self.out_ch,
-                         scaled_last=True, dtype=self.dtype,
-                         name="hypo_params")(cond)
+        fcb = FCBlock(self.hyper_hidden_ch, self.hyper_num_hidden_layers,
+                      self.in_ch * self.out_ch + self.out_ch,
+                      scaled_last=True, dtype=self.dtype,
+                      name="hypo_params")
+        # Fused path: the (B, out, in) view of the FCBlock's flat output
+        # forces XLA to re-tile every predicted weight tensor (~25 MB/call,
+        # 755 MB/step at flagship dims of copy-done; equivalent mul+reduce
+        # or explicit-VJP formulations canonicalise to the identical HLO —
+        # docs/PERFORMANCE.md round 3b). The fused Pallas kernel predicts
+        # the last hyper Linear and applies the per-sample weights in VMEM,
+        # so the tensor is never materialised in HBM (forward; the
+        # backward keeps the XLA forms for now).
+        from ..ops import attention as _att
+        from ..ops.pallas.hyper_apply import hyper_apply, supported
+        dt = self.dtype or jnp.float32
+        if (_att.get_backend() == "pallas"
+                and supported(self.hyper_hidden_ch, self.in_ch,
+                              self.out_ch, dt)):
+            return fcb(cond, apply_last=lambda h, k, b: hyper_apply(
+                h, k, b, jnp.asarray(x, dt), out_ch=self.out_ch))
+        params = fcb(cond)
         w = params[..., : self.in_ch * self.out_ch]
         b = params[..., self.in_ch * self.out_ch:]
         w = w.reshape(-1, self.out_ch, self.in_ch)
-        # Note on layout (measured round 3, docs/PERFORMANCE.md): the
-        # (B, out, in) view of the FCBlock's flat output forces XLA to
-        # re-tile every predicted weight tensor (~25 MB/call, 755 MB/step
-        # at flagship dims of copy-done). The copies are inherent to
-        # materialising a per-sample weight tensor on TPU — an equivalent
-        # mul+reduce formulation canonicalises to the identical HLO, and
-        # the bilinear structure reappears in the backward regardless.
         return jnp.einsum("boi,bi->bo", w, jnp.asarray(x, self.dtype)) + b
 
 

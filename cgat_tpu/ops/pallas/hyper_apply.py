@@ -1,0 +1,184 @@
+"""Fused hypernetwork predict+apply Pallas TPU kernel.
+
+The CGAT hypernetworks (models/hyper.py, reference
+CGAT/Hypernetworksmp.py:205-254) predict a per-node weight matrix
+``W[b] = (FCBlock_last(hidden[b])).reshape(out, in)`` and apply it to that
+node's own input: ``out[b] = W[b] @ x[b] + beta[b]``. Under XLA this
+materialises a (B, out, in) tensor whose tiled layout differs from the
+producing matmul's 2D output — measured 755 MB/step of pure layout copies
+at flagship dims, irreducible at the source level (mul+reduce, transposed
+parametrisations and explicit 2D VJPs all canonicalise to the same HLO;
+docs/PERFORMANCE.md round 3b).
+
+This kernel fuses the last hyper Linear with the per-sample apply so the
+predicted weights never leave VMEM:
+
+    P = hidden_blk @ K + c            # (BB, F), F = O*I + O, MXU
+    xt[:, o*I + i] = x[:, i]          # x tiled O times along lanes
+    out = (P[:, :O*I] * xt) @ S + P[:, O*I:]
+                                      # S[f, o] = 1 if f // I == o
+
+The block-diagonal one-hot contraction sums each 128-lane group on the
+MXU (same trick as the segment-attention scatter). HBM traffic per call
+drops from ~55 MB (P round-trip + relayout copies) to ~6 MB (K resident
+in VMEM + the small blocks).
+
+The backward is the standard XLA VJP (recompute P, einsum forms) — its
+copies remain; fusing it is the follow-on step. Gated to bf16 with
+I, O, C multiples of 128 (the flagship is 128/128/128); anything else
+falls back to the XLA path in models/hyper.py.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# module-level interpret default (tests force True off-TPU, like
+# segment_attention.INTERPRET)
+INTERPRET = False
+
+BLOCK_ROWS = 32  # rows per grid step; 2 x (BB, O*I) bf16 + K + S fit VMEM
+
+
+def supported(hidden_dim: int, in_ch: int, out_ch: int, dtype) -> bool:
+    return (dtype == jnp.bfloat16 and hidden_dim % 128 == 0
+            and in_ch % 128 == 0 and out_ch % 128 == 0)
+
+
+GROUP_O = 32  # predicted-output rows per F-chunk (chunk width = GROUP_O * I)
+
+
+def _fwd_kernel(h_ref, x_ref, k_ref, c_ref, out_ref, xt_s,
+                *, bb, ci, oi, f):
+    O = oi
+    I = (f - O) // O
+    W = O * I
+    G = GROUP_O
+    width = G * I
+
+    # x tiled G times along lanes: xt[:, g*I + i] = x[:, i] — identical for
+    # every F-chunk of this row block, built once per block
+    xv = x_ref[...]
+    for g in range(G):
+        xt_s[:, g * I:(g + 1) * I] = xv
+
+    hv = h_ref[...]
+    acc = jnp.zeros((bb, O), jnp.float32)
+    # the (BB, F) predicted tensor is processed in F-chunks so the kernel's
+    # scoped VMEM stays small (a full-width P at flagship dims blew the
+    # 16 MB budget); K stays resident whole, chunks are static lane slices
+    for c in range(O // G):
+        # predicted chunk, f32 accumulation then the XLA path's bf16 round
+        p_c = jax.lax.dot_general(
+            hv, k_ref[:, c * width:(c + 1) * width],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        p_c = (p_c + c_ref[:, c * width:(c + 1) * width]
+               .astype(jnp.float32)).astype(hv.dtype)          # (BB, width)
+        q_c = p_c * xt_s[...]
+        # block-diagonal one-hot for this chunk: S[r, o] = (the o of global
+        # column c*width + r) == o
+        rows = jax.lax.broadcasted_iota(jnp.int32, (width, O), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (width, O), 1)
+        s_c = jnp.where(rows // I + c * G == cols, 1.0, 0.0
+                        ).astype(hv.dtype)
+        acc = acc + jax.lax.dot_general(
+            q_c, s_c, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)                # (BB, O)
+
+    # predicted bias tail: columns [W, W + O)
+    p_b = jax.lax.dot_general(
+        hv, k_ref[:, W:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    p_b = (p_b + c_ref[:, W:].astype(jnp.float32)).astype(hv.dtype)
+    out_ref[...] = (acc + p_b.astype(jnp.float32)).astype(out_ref.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _hyper_apply(hidden, kernel, bias, x, out_ch, interpret):
+    return _fwd_impl(hidden, kernel, bias, x, out_ch, interpret)
+
+
+def _fwd_impl(hidden, kernel, bias, x, out_ch, interpret):
+    b_tot, ci = hidden.shape
+    f = kernel.shape[1]
+    oi = out_ch
+    bb = BLOCK_ROWS
+    pad = (-b_tot) % bb
+    if pad:
+        hidden = jnp.pad(hidden, ((0, pad), (0, 0)))
+        x = jnp.pad(x, ((0, pad), (0, 0)))
+    nblocks = (b_tot + pad) // bb
+    w = f - oi
+
+    out = pl.pallas_call(
+        functools.partial(_fwd_kernel, bb=bb, ci=ci, oi=oi, f=f),
+        grid=(nblocks,),
+        in_specs=[
+            pl.BlockSpec((bb, ci), lambda j: (j, 0),
+                         memory_space=pltpu.VMEM),      # hidden
+            pl.BlockSpec((bb, w // oi), lambda j: (j, 0),
+                         memory_space=pltpu.VMEM),      # x
+            pl.BlockSpec(memory_space=pltpu.VMEM),      # kernel (whole)
+            pl.BlockSpec(memory_space=pltpu.VMEM),      # bias (1, F)
+        ],
+        out_specs=pl.BlockSpec((bb, oi), lambda j: (j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b_tot + pad, oi), hidden.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((bb, GROUP_O * (w // oi)), hidden.dtype),  # xt chunk
+        ],
+        interpret=interpret,
+        name="hyper_apply_fwd",
+    )(hidden, x, kernel, bias.reshape(1, f))
+    return out[:b_tot]
+
+
+def _vjp_fwd(hidden, kernel, bias, x, out_ch, interpret):
+    out = _fwd_impl(hidden, kernel, bias, x, out_ch, interpret)
+    return out, (hidden, kernel, bias, x)
+
+
+def _vjp_bwd(out_ch, interpret, res, g):
+    hidden, kernel, bias, x = res
+    oi = out_ch
+    ii = x.shape[1]
+    w = oi * ii
+    # standard XLA VJP (the relayout copies here are the documented
+    # remaining cost; fusing the backward is the follow-on step)
+    p = hidden @ kernel + bias
+    pw = p[:, :w].reshape(-1, oi, ii)
+    dx = jnp.einsum("bo,boi->bi", g, pw).astype(x.dtype)
+    dw = (g[:, :, None] * x[:, None, :]).reshape(-1, w)
+    dp = jnp.concatenate([dw, g], axis=1)                      # (B, F)
+    dh = jax.lax.dot_general(dp, kernel, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32
+                             ).astype(hidden.dtype)
+    dk = jax.lax.dot_general(hidden, dp, (((0,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32
+                             ).astype(kernel.dtype)
+    db = jnp.sum(dp.astype(jnp.float32), axis=0).astype(bias.dtype)
+    return dh, dk, db, dx
+
+
+_hyper_apply.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+def hyper_apply(hidden, kernel, bias, x, *, out_ch: int,
+                interpret: bool | None = None):
+    """Fused predict+apply: ``((hidden @ kernel + bias) weights) @ x + beta``.
+
+    hidden: (B, C) conditioning features (pre-last-layer FCBlock output)
+    kernel: (C, F) last hyper Linear weight, F = out_ch * in_ch + out_ch,
+            flattened out-major (f = o * in_ch + i) like the XLA path
+    bias:   (F,)
+    x:      (B, in_ch) per-sample input
+    Returns (B, out_ch) in ``hidden.dtype``.
+    """
+    if interpret is None:
+        interpret = INTERPRET or jax.default_backend() != "tpu"
+    return _hyper_apply(hidden, kernel, bias, x, out_ch, interpret)

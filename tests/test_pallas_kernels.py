@@ -160,3 +160,41 @@ def test_bf16_mode_gradients_and_dtypes(rng):
         assert a.dtype == jnp.bfloat16
         a, b = np.asarray(a, np.float32), np.asarray(b, np.float32)
         assert np.linalg.norm(a - b) / np.linalg.norm(b) < 0.03
+
+
+def test_hyper_apply_fused_matches_xla(rng):
+    """Fused hypernetwork predict+apply (ops/pallas/hyper_apply.py) vs the
+    XLA reference at the gated dims (C=I=O=128), including a B that is not
+    a block multiple (exercises the pad/slice path) and grads on all four
+    inputs."""
+    from cgat_tpu.ops.pallas.hyper_apply import hyper_apply
+
+    C = I = O = 128
+    F = O * I + O
+    for B in (96, 100):
+        h = jnp.asarray(rng.standard_normal((B, C)), jnp.bfloat16)
+        k = jnp.asarray(rng.standard_normal((C, F)) * 0.05, jnp.bfloat16)
+        b = jnp.asarray(rng.standard_normal((F,)) * 0.05, jnp.bfloat16)
+        x = jnp.asarray(rng.standard_normal((B, I)), jnp.bfloat16)
+
+        def ref(h, k, b, x):
+            p = h @ k + b
+            w = p[:, :O * I].reshape(-1, O, I)
+            return jnp.einsum("boi,bi->bo", w, x) + p[:, O * I:]
+
+        def fused(h, k, b, x):
+            return hyper_apply(h, k, b, x, out_ch=O, interpret=True)
+
+        fr = np.asarray(ref(h, k, b, x), np.float32)
+        ff = np.asarray(fused(h, k, b, x), np.float32)
+        assert np.linalg.norm(ff - fr) / np.linalg.norm(fr) < 2e-2
+
+        def loss(f):
+            return lambda *a: jnp.sum(f(*a).astype(jnp.float32) ** 2)
+
+        gr = jax.grad(loss(ref), argnums=(0, 1, 2, 3))(h, k, b, x)
+        gf = jax.grad(loss(fused), argnums=(0, 1, 2, 3))(h, k, b, x)
+        for a, w in zip(gf, gr):
+            a = np.asarray(a, np.float32)
+            w = np.asarray(w, np.float32)
+            assert np.linalg.norm(a - w) / (np.linalg.norm(w) + 1e-30) < 3e-2
