@@ -43,6 +43,10 @@ INTERPRET = False
 
 BLOCK_ROWS = 32  # rows per grid step; 2 x (BB, O*I) bf16 + K + S fit VMEM
 
+# use the fused Pallas backward (dh/dx kernel + F-chunked dK kernel)
+# instead of the XLA einsum VJP
+FUSED_BWD = True
+
 
 def supported(hidden_dim: int, in_ch: int, out_ch: int, dtype) -> bool:
     return (dtype == jnp.bfloat16 and hidden_dim % 128 == 0
@@ -138,6 +142,172 @@ def _fwd_impl(hidden, kernel, bias, x, out_ch, interpret):
     return out[:b_tot]
 
 
+def _bwd_dhdx_kernel(h_ref, x_ref, g_ref, k_ref, c_ref, dh_ref, dx_ref,
+                     xt_s, s2_s, *, bb, ci, oi, f):
+    """dh = dP @ K^T and dx = (Gt * P_w) @ S2 per row block, F-chunked.
+    dP = [Gt * Xt | g] where Gt replicates g across each o's I lanes."""
+    j = pl.program_id(0)
+    O = oi
+    I = (f - O) // O
+    W = O * I
+    G = GROUP_O
+    width = G * I
+
+    @pl.when(j == 0)
+    def _():
+        # S2[r, i] = (r % I == i) — same for every chunk and block
+        rows = jax.lax.broadcasted_iota(jnp.int32, (width, I), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (width, I), 1)
+        s2_s[...] = jnp.where(rows % I == cols, 1.0, 0.0).astype(s2_s.dtype)
+
+    xv = x_ref[...]
+    for g_i in range(G):
+        xt_s[:, g_i * I:(g_i + 1) * I] = xv
+
+    hv = h_ref[...]
+    gv = g_ref[...]
+    dh = jnp.zeros((bb, ci), jnp.float32)
+    dx = jnp.zeros((bb, I), jnp.float32)
+    for c in range(O // G):
+        # Gt[b, r] = g[b, r // I + c * G] via one-hot matmul
+        rows = jax.lax.broadcasted_iota(jnp.int32, (O, width), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (O, width), 1)
+        s1t = jnp.where(cols // I + c * G == rows, 1.0, 0.0).astype(gv.dtype)
+        gt = jax.lax.dot_general(gv, s1t, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32
+                                 ).astype(gv.dtype)            # (BB, width)
+        kc = k_ref[:, c * width:(c + 1) * width]
+        p_c = jax.lax.dot_general(hv, kc, (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        p_c = (p_c + c_ref[:, c * width:(c + 1) * width]
+               .astype(jnp.float32)).astype(hv.dtype)
+        dp_c = gt * xt_s[...]
+        dh = dh + jax.lax.dot_general(dp_c, kc, (((1,), (1,)), ((), ())),
+                                      preferred_element_type=jnp.float32)
+        dx = dx + jax.lax.dot_general(gt * p_c, s2_s[...],
+                                      (((1,), (0,)), ((), ())),
+                                      preferred_element_type=jnp.float32)
+    # predicted-bias tail: dP[:, W:] = g
+    dh = dh + jax.lax.dot_general(gv, k_ref[:, W:], (((1,), (1,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+    dh_ref[...] = dh.astype(dh_ref.dtype)
+    dx_ref[...] = dx.astype(dx_ref.dtype)
+
+
+def _bwd_dk_kernel(ht_ref, x_ref, g_ref, dk_ref, db_ref, xt_s,
+                   *, b_pad, ci, oi, f):
+    """dK_w chunk (C, width) = sum_b h[b]^T dP_w[b, chunk] and db_w chunk,
+    batch loop inside so each F-chunk is written exactly once."""
+    j = pl.program_id(0)
+    O = oi
+    I = (f - O) // O
+    G = GROUP_O
+    width = G * I
+    BR = 128
+
+    acc = jnp.zeros((ci, width), jnp.float32)
+    dbacc = jnp.zeros((1, width), jnp.float32)
+    for bb in range(b_pad // BR):
+        gv = g_ref[bb * BR:(bb + 1) * BR, :]                   # (BR, O)
+        xv = x_ref[bb * BR:(bb + 1) * BR, :]
+        for g_i in range(G):
+            xt_s[:, g_i * I:(g_i + 1) * I] = xv
+        rows = jax.lax.broadcasted_iota(jnp.int32, (O, width), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (O, width), 1)
+        s1t = jnp.where(cols // I + j * G == rows, 1.0, 0.0).astype(gv.dtype)
+        gt = jax.lax.dot_general(gv, s1t, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32
+                                 ).astype(gv.dtype)
+        dp = gt * xt_s[...]                                    # (BR, width)
+        acc = acc + jax.lax.dot_general(
+            ht_ref[:, bb * BR:(bb + 1) * BR], dp, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dbacc = dbacc + jnp.sum(dp.astype(jnp.float32), axis=0,
+                                keepdims=True)
+    dk_ref[...] = acc.astype(dk_ref.dtype)
+    db_ref[...] = dbacc.astype(db_ref.dtype)
+
+
+def _fused_bwd(hidden, kernel, bias, x, g, out_ch, interpret):
+    b_tot, ci = hidden.shape
+    f = kernel.shape[1]
+    oi = out_ch
+    ii = x.shape[1]
+    w = oi * ii
+    width = GROUP_O * ii
+    bb = BLOCK_ROWS
+    pad = (-b_tot) % 128  # dK kernel iterates 128-row batches
+    if pad:
+        hidden = jnp.pad(hidden, ((0, pad), (0, 0)))
+        x = jnp.pad(x, ((0, pad), (0, 0)))
+        g = jnp.pad(g, ((0, pad), (0, 0)))
+    b_pad = b_tot + pad
+    cvec = bias.reshape(1, f)
+
+    dh, dx = pl.pallas_call(
+        functools.partial(_bwd_dhdx_kernel, bb=bb, ci=ci, oi=oi, f=f),
+        grid=(b_pad // bb,),
+        in_specs=[
+            pl.BlockSpec((bb, ci), lambda j: (j, 0),
+                         memory_space=pltpu.VMEM),      # hidden
+            pl.BlockSpec((bb, ii), lambda j: (j, 0),
+                         memory_space=pltpu.VMEM),      # x
+            pl.BlockSpec((bb, oi), lambda j: (j, 0),
+                         memory_space=pltpu.VMEM),      # g
+            pl.BlockSpec(memory_space=pltpu.VMEM),      # kernel (whole)
+            pl.BlockSpec(memory_space=pltpu.VMEM),      # bias (1, F)
+        ],
+        out_specs=[
+            pl.BlockSpec((bb, ci), lambda j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, ii), lambda j: (j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[jax.ShapeDtypeStruct((b_pad, ci), hidden.dtype),
+                   jax.ShapeDtypeStruct((b_pad, ii), x.dtype)],
+        scratch_shapes=[
+            pltpu.VMEM((bb, width), hidden.dtype),      # xt chunk
+            pltpu.VMEM((width, ii), hidden.dtype),      # S2
+        ],
+        interpret=interpret,
+        name="hyper_apply_bwd_dhdx",
+    )(hidden, x, g, kernel, cvec)
+
+    ht = hidden.T  # (C, B) — tiny XLA transpose (0.2 MB at flagship)
+    dk_w, db_w = pl.pallas_call(
+        functools.partial(_bwd_dk_kernel, b_pad=b_pad, ci=ci, oi=oi, f=f),
+        grid=(w // width,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),      # hidden^T (whole)
+            pl.BlockSpec(memory_space=pltpu.VMEM),      # x (whole)
+            pl.BlockSpec(memory_space=pltpu.VMEM),      # g (whole)
+        ],
+        out_specs=[
+            pl.BlockSpec((ci, width), lambda j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, width), lambda j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[jax.ShapeDtypeStruct((ci, w), kernel.dtype),
+                   jax.ShapeDtypeStruct((1, w), jnp.float32)],
+        scratch_shapes=[
+            pltpu.VMEM((128, width), hidden.dtype),     # xt per 128 rows
+        ],
+        interpret=interpret,
+        name="hyper_apply_bwd_dk",
+    )(ht, x, g)
+
+    # predicted-bias tail columns [W, F): dP there is just g — plain 2D dots
+    g2 = g.astype(jnp.float32)
+    dk_b = jax.lax.dot_general(hidden, g, (((0,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32
+                               ).astype(kernel.dtype)          # (C, O)
+    db_b = jnp.sum(g2, axis=0)
+    dk = jnp.concatenate([dk_w, dk_b], axis=1)
+    db = jnp.concatenate([db_w[0], db_b]).astype(bias.dtype)
+    return dh[:b_tot], dk, db, dx[:b_tot]
+
+
 def _vjp_fwd(hidden, kernel, bias, x, out_ch, interpret):
     out = _fwd_impl(hidden, kernel, bias, x, out_ch, interpret)
     return out, (hidden, kernel, bias, x)
@@ -145,11 +315,13 @@ def _vjp_fwd(hidden, kernel, bias, x, out_ch, interpret):
 
 def _vjp_bwd(out_ch, interpret, res, g):
     hidden, kernel, bias, x = res
+    if FUSED_BWD:
+        return _fused_bwd(hidden, kernel, bias, x, g, out_ch, interpret)
     oi = out_ch
     ii = x.shape[1]
     w = oi * ii
-    # standard XLA VJP (the relayout copies here are the documented
-    # remaining cost; fusing the backward is the follow-on step)
+    # standard XLA VJP (kept for A/B and as a fallback; its per-sample
+    # weight relayouts cost ~1 ms/step at flagship dims)
     p = hidden @ kernel + bias
     pw = p[:, :w].reshape(-1, oi, ii)
     dx = jnp.einsum("bo,boi->bi", g, pw).astype(x.dtype)
