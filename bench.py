@@ -242,6 +242,175 @@ def verify_pallas(tol: float = 1e-4):
             "verify_max_rel_err": round(max_rel, 8)}
 
 
+def verify_production(tol_model: float = 2e-2, tol_op: float = 5e-2):
+    """bf16 PRODUCTION-path certificate, run on the real chip every round.
+
+    verify_pallas certifies f32 numerics, but the headline (and the shipped
+    trainer default) is bf16 — and the fused hypernetwork kernels are GATED
+    to bf16 (ops/pallas/hyper_apply.py:supported), so the f32 certificate
+    never engages them or the segment kernels' bf16 branches. Three checks
+    in exactly the shipped configuration (the reference analog is the apex
+    AMP level it trains under, train.py:57-58):
+
+    1. full-model FORWARD loss parity Pallas-vs-XLA in bf16 — with the
+       pallas backend on, the fused hyper predict+apply engages inside the
+       model, so this also covers its forward at every real call site;
+    2. bf16 segment-kernel fwd+grad parity at both in-model shapes;
+    3. hyper_apply fwd + FUSED_BWD grads vs the XLA einsum path at the
+       flagship call-site shape (B = node slots, C = I = O = 128).
+
+    Tolerances sit at the measured bf16 noise floor (two correct backends
+    rounding differently diverge ~1e-2 relative at these sizes;
+    docs/PERFORMANCE.md), far below any Mosaic miscompile."""
+    from cgat_tpu.ops import attention as _att
+    from cgat_tpu.ops.pallas import edge_softmax_aggregate as pop
+    from cgat_tpu.ops.attention import edge_softmax_aggregate as xop
+    from cgat_tpu.ops.pallas.hyper_apply import hyper_apply
+    from cgat_tpu.data import collate
+    from cgat_tpu.data.synthetic import random_graphs
+    from cgat_tpu.models import CGATConfig, CGAtNet
+    from cgat_tpu.models.host_init import init_params_host
+
+    cfg = CGATConfig(compute_dtype="bfloat16")
+    model = CGAtNet(cfg)
+    graphs = random_graphs(0, 64, n_atoms_range=(8, 16), max_nbr=24)
+    batch = collate(graphs, max_nbr=24, node_bucket=64)
+    params = jax.tree.map(jnp.asarray, init_params_host(model, batch, seed=0))
+
+    def fwd_loss(p):
+        out = model.apply({"params": p}, batch)
+        return jnp.sum(jnp.where(batch.graph_mask,
+                                 (out[:, 0] - batch.target) ** 2, 0.0))
+
+    losses = {}
+    for backend in ("pallas", "xla"):
+        _att.set_backend(backend)
+        losses[backend] = float(jax.jit(fwd_loss)(params))
+    _att.set_backend("pallas")
+    model_err = (abs(losses["pallas"] - losses["xla"])
+                 / (abs(losses["xla"]) + 1e-30))
+
+    # bf16 segment kernels, both call-site shapes, fwd + grads
+    H, F = cfg.msg_heads, cfg.elem_fea_len
+    rng = np.random.default_rng(0)
+    op_errs = []
+    for e, n, dst, mask in (
+            (batch.edge_src.shape[0], batch.nodes.shape[0],
+             batch.edge_dst, batch.edge_mask),
+            (batch.nodes.shape[0], batch.num_graphs,
+             batch.node2graph, batch.node_mask)):
+        alpha = jnp.asarray(rng.standard_normal((e, H, F)), jnp.bfloat16)
+        m = jnp.asarray(rng.standard_normal((e, H, F)), jnp.bfloat16)
+        mk = lambda impl: jax.jit(jax.value_and_grad(
+            lambda a, mm: jnp.sum(impl(a, mm).astype(jnp.float32) ** 2),
+            argnums=(0, 1)))
+        vg_p = mk(lambda a, mm: pop(a, mm, dst, n, edge_mask=mask))(alpha, m)
+        vg_x = mk(lambda a, mm: xop(a, mm, dst, n, edge_mask=mask,
+                                    backend="xla"))(alpha, m)
+        op_errs.append(abs(float(vg_p[0]) - float(vg_x[0]))
+                       / (abs(float(vg_x[0])) + 1e-30))
+        num = sum(float(np.linalg.norm(
+            np.asarray(a, np.float32) - np.asarray(b, np.float32)) ** 2)
+            for a, b in zip(vg_p[1], vg_x[1]))
+        den = sum(float(np.linalg.norm(np.asarray(b, np.float32)) ** 2)
+                  for b in vg_x[1])
+        op_errs.append(float(np.sqrt(num / (den + 1e-30))))
+
+    # fused hyper predict+apply (fwd + FUSED_BWD) vs the XLA einsum path
+    B, C = batch.nodes.shape[0], cfg.elem_fea_len
+    I = O = cfg.elem_fea_len
+    fdim = O * I + O
+    hidden = jnp.asarray(rng.standard_normal((B, C)), jnp.bfloat16)
+    kernel = jnp.asarray(rng.standard_normal((C, fdim)) * 0.01, jnp.bfloat16)
+    bias = jnp.asarray(rng.standard_normal((fdim,)) * 0.01, jnp.bfloat16)
+    x = jnp.asarray(rng.standard_normal((B, I)), jnp.bfloat16)
+
+    def xla_hyper(h, k, b, xx):
+        p = h @ k + b
+        w = p[:, :O * I].reshape(-1, O, I)
+        return jnp.einsum("boi,bi->bo", w, xx) + p[:, O * I:]
+
+    hyper_errs = []
+    vgs = []
+    for impl in (lambda h, k, b, xx: hyper_apply(h, k, b, xx, out_ch=O),
+                 xla_hyper):
+        vgs.append(jax.jit(jax.value_and_grad(
+            lambda h, k, b, xx, _i=impl: jnp.sum(
+                _i(h, k, b, xx).astype(jnp.float32) ** 2),
+            argnums=(0, 1, 2, 3)))(hidden, kernel, bias, x))
+    hyper_errs.append(abs(float(vgs[0][0]) - float(vgs[1][0]))
+                      / (abs(float(vgs[1][0])) + 1e-30))
+    num = sum(float(np.linalg.norm(
+        np.asarray(a, np.float32) - np.asarray(b, np.float32)) ** 2)
+        for a, b in zip(vgs[0][1], vgs[1][1]))
+    den = sum(float(np.linalg.norm(np.asarray(b, np.float32)) ** 2)
+              for b in vgs[1][1])
+    hyper_errs.append(float(np.sqrt(num / (den + 1e-30))))
+
+    op_max = float(np.max(op_errs))
+    hyper_max = float(np.max(hyper_errs))
+    return {
+        "verify_bf16_ok": bool(model_err < tol_model and op_max < tol_op),
+        "verify_bf16_model_rel_err": round(float(model_err), 6),
+        "verify_bf16_op_rel_err": round(op_max, 6),
+        "verify_hyper_ok": bool(hyper_max < tol_op),
+        "verify_hyper_rel_err": round(hyper_max, 6),
+    }
+
+
+def previous_bench() -> dict | None:
+    """Latest BENCH_r*.json in the repo (the driver writes one per round)."""
+    import glob
+    import re
+    here = os.path.dirname(os.path.abspath(__file__))
+    best = None
+    for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", path)
+        if m:
+            r = int(m.group(1))
+            if best is None or r > best[0]:
+                best = (r, path)
+    if best is None:
+        return None
+    try:
+        with open(best[1]) as f:
+            data = json.load(f)
+        prev = data.get("parsed", data)
+        prev["_round"] = best[0]
+        return prev
+    except Exception:
+        return None
+
+
+def regression_deltas(result: dict, prev: dict | None) -> dict:
+    """vs_prev ratios for every reported series, flagging >5% regressions
+    (higher-is-better for throughputs/mfu; lower-is-better for kernel us).
+    The f32 anchor path slipped r02->r03 untracked — this makes any such
+    slip visible in the round artifact itself."""
+    if not prev:
+        return {}
+    ratios = {}
+    regressions = []
+    for key in ("value", "edges_per_sec_f32", "edges_per_sec_b128",
+                "edges_per_sec_dense", "mfu"):
+        a, b = result.get(key), prev.get(key)
+        if isinstance(a, (int, float)) and isinstance(b, (int, float)) and b:
+            r = a / b
+            ratios[key] = round(r, 4)
+            if r < 0.95:
+                regressions.append(key)
+    for k in ("fwd", "bwd"):
+        a = (result.get("roofline") or {}).get(k, {}).get("us")
+        b = (prev.get("roofline") or {}).get(k, {}).get("us")
+        if isinstance(a, (int, float)) and isinstance(b, (int, float)) and a:
+            r = b / a  # higher = faster now
+            ratios[f"roofline_{k}_us"] = round(r, 4)
+            if r < 0.95:
+                regressions.append(f"roofline_{k}_us")
+    return {"vs_prev": {"round": prev.get("_round"), **ratios},
+            **({"regressions_vs_prev": regressions} if regressions else {})}
+
+
 def main():
     # The axon TPU runtime DEFERS execution until a value is actually read
     # back — block_until_ready alone returns enqueue-time fiction. Force
@@ -278,6 +447,10 @@ def main():
         verify.update(verify_pallas())
     except Exception as e:
         verify["verify_pallas_ok"] = f"error: {type(e).__name__}"
+    try:
+        verify.update(verify_production())
+    except Exception as e:
+        verify["verify_bf16_ok"] = f"error: {type(e).__name__}"
     roofline = None
     try:
         from cgat_tpu.utils.roofline import measure_kernels
@@ -289,6 +462,19 @@ def main():
                 "mxu_frac_f32": rk[k]["mxu_fraction_f32_highest"],
                 "bound": rk[k]["bound"]}
             for k in ("fwd", "bwd")}
+    except Exception:
+        pass
+    try:
+        from cgat_tpu.utils.roofline import measure_hyper_kernels
+        hk = measure_hyper_kernels(iters=20)
+        roofline = roofline or {}
+        for k in ("fwd", "bwd"):
+            roofline[f"hyper_{k}"] = {
+                "us": round(hk[k]["seconds"] * 1e6, 1),
+                "gb_per_s": hk[k]["dma_gb_per_s"],
+                "hbm_frac": hk[k]["hbm_fraction"],
+                "mxu_frac_bf16": hk[k]["mxu_fraction_bf16_peak"],
+                "bound": hk[k]["bound"]}
     except Exception:
         pass
 
@@ -310,7 +496,7 @@ def main():
                        "value": base,
                        "note": "first recorded run (reference publishes no "
                                "numbers, BASELINE.md)"}, f)
-    print(json.dumps({
+    result = {
         "metric": "train_edges_per_sec_per_chip",
         "value": round(edges_per_sec, 1),
         "unit": "edges/s",
@@ -321,7 +507,12 @@ def main():
         "flops_per_step": r64["flops_per_step"],
         **verify,
         **({"roofline": roofline} if roofline else {}),
-    }))
+    }
+    try:
+        result.update(regression_deltas(result, previous_bench()))
+    except Exception:
+        pass
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

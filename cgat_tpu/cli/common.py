@@ -97,8 +97,16 @@ def add_model_args(p: argparse.ArgumentParser):
     p.add_argument("--last-ckpt-every", type=int, default=1,
                    help="refresh the crash-safe 'last' checkpoint every N "
                         "non-improving val epochs")
+    # PRODUCTION DEFAULT is bf16 compute + f32 params (the benchmarked
+    # headline configuration): convergence parity with f32 is demonstrated
+    # on synthetic and physical-structure runs (matched val-MAE
+    # trajectories, docs/PERFORMANCE.md) and the numerics are certified on
+    # hardware every bench round (bench.py verify_production). Pass
+    # --precision float32 for the f32 anchor path (reference parity runs).
+    # The library-level CGATConfig default stays float32 so programmatic
+    # users opt in explicitly.
     p.add_argument("--precision", choices=["float32", "bfloat16"],
-                   default="float32")
+                   default="bfloat16")
     return p
 
 

@@ -50,11 +50,26 @@ class CrystalBatch:
     graph_mask: jnp.ndarray   # bool (C,)
     # edge-partition halo structure (only when collated with edge_shards > 1;
     # None otherwise). Shapes use S = edge_shards, H = halo slots per
-    # (owner, destination) shard pair, n_loc = N / S local nodes per shard.
-    # Per-edge source index into [local nodes | received halo rows]: local
-    # sources map to (src - s*n_loc), remote sources to
-    # n_loc + owner*H + position in the owner's send list for this shard.
-    edge_src_ext: jnp.ndarray | None = None   # i32 (E,)
+    # (owner, destination) shard pair, n_loc = N / S local nodes per shard,
+    # Eh = S * halo-block capacity.
+    #
+    # With edge sharding the per-shard edge block is SPLIT: the primary
+    # edge arrays above hold only the LOCAL-src edges (source and destination
+    # in the shard's own node slice) and the ``halo_*`` arrays hold the
+    # HALO-src edges (destination local, source owned by another shard).
+    # Each sub-block is dst-sorted with False-suffix padding. The split is
+    # what gives the layer comm/compute overlap: the local block's per-edge
+    # matmuls depend only on the local node slice, so they run while the
+    # boundary ``all_to_all`` is in flight; only the (small) halo block
+    # consumes the received rows (models/cgat.py).
+    halo_src: jnp.ndarray | None = None       # i32 (Eh,) global source ids
+    halo_dst: jnp.ndarray | None = None       # i32 (Eh,) global dst ids
+    halo_shell: jnp.ndarray | None = None     # i32 (Eh,)
+    halo_mask: jnp.ndarray | None = None      # bool (Eh,)
+    # Per-halo-edge source index into [local nodes | received halo rows]:
+    # n_loc + owner*H + position in the owner's send list for this shard
+    # (padded entries point at local row n_loc - 1).
+    halo_src_ext: jnp.ndarray | None = None   # i32 (Eh,)
     # Send table, owner-major: rows [s*S:(s+1)*S] belong to shard s; row
     # s*S + d holds the LOCAL indices of the boundary nodes shard s sends to
     # shard d (sorted by global id, padded with n_loc - 1). An
@@ -104,18 +119,25 @@ def pad_to_bucket(n: int, multiple: int = 64) -> int:
 
 
 def edge_shard_counts(graphs: Sequence["CrystalGraph"],
-                      num_node_slots: int, edge_shards: int) -> np.ndarray:
-    """Real-edge count per destination-node slice for a prospective collate
-    of ``graphs`` into ``num_node_slots`` (used to pick a static per-shard
-    edge capacity before building the batch)."""
+                      num_node_slots: int,
+                      edge_shards: int) -> tuple[np.ndarray, np.ndarray]:
+    """(local, halo) real-edge counts per destination-node slice for a
+    prospective collate of ``graphs`` into ``num_node_slots`` (used to pick
+    the static per-shard local/halo edge capacities before building the
+    batch). Local = source and destination in the same slice."""
     n_loc = num_node_slots // edge_shards
-    counts = np.zeros((edge_shards,), np.int64)
+    loc = np.zeros((edge_shards,), np.int64)
+    hal = np.zeros((edge_shards,), np.int64)
     base = 0
     for g in graphs:
-        idx = (g.edge_dst.astype(np.int64) + base) // n_loc
-        counts += np.bincount(idx, minlength=edge_shards)
+        src = g.edge_src.astype(np.int64) + base
+        dst = g.edge_dst.astype(np.int64) + base
+        d = dst // n_loc
+        lm = (src // n_loc) == d
+        loc += np.bincount(d[lm], minlength=edge_shards)
+        hal += np.bincount(d[~lm], minlength=edge_shards)
         base += g.n_atoms
-    return counts
+    return loc, hal
 
 
 def halo_pair_max(graphs: Sequence["CrystalGraph"],
@@ -146,37 +168,38 @@ def halo_pair_max(graphs: Sequence["CrystalGraph"],
     return worst
 
 
-def _halo_layout(edge_src, n_loc, S, cap, halo_slots):
+def _halo_layout(halo_src, halo_mask, n_loc, S, cap, halo_slots):
     """Boundary (halo) exchange structure for an edge-sharded batch.
 
-    Returns (edge_src_ext (E,), halo_send_idx (S*S, H), H). See
+    ``halo_src`` holds the S halo blocks' global source ids (``cap`` slots
+    each). Returns (halo_src_ext (S*cap,), halo_send_idx (S*S, H), H). See
     :class:`CrystalBatch` for the layout contract.
     """
-    E = S * cap
     need = [[None] * S for _ in range(S)]
     for s in range(S):
-        gsrc = edge_src[s * cap:(s + 1) * cap].astype(np.int64)
+        blk = slice(s * cap, (s + 1) * cap)
+        gsrc = halo_src[blk].astype(np.int64)
         owner = gsrc // n_loc
+        msk = halo_mask[blk]
         for j in range(S):
             if j != s:
-                need[s][j] = np.unique(gsrc[owner == j])
+                need[s][j] = np.unique(gsrc[msk & (owner == j)])
     worst = max((len(need[s][j]) for s in range(S) for j in range(S)
                  if j != s), default=0)
     H = halo_slots if halo_slots is not None else max(8, _round_up(worst, 8))
     assert worst <= H, f"halo overflow: {worst} boundary nodes > {H} slots"
 
-    src_ext = np.empty((E,), np.int32)
+    src_ext = np.full((S * cap,), n_loc - 1, np.int32)
     for s in range(S):
         blk = slice(s * cap, (s + 1) * cap)
-        gsrc = edge_src[blk].astype(np.int64)
+        gsrc = halo_src[blk].astype(np.int64)
         owner = gsrc // n_loc
-        ext = np.empty((cap,), np.int64)
-        local_m = owner == s
-        ext[local_m] = gsrc[local_m] - s * n_loc
+        msk = halo_mask[blk]
+        ext = np.full((cap,), n_loc - 1, np.int64)
         for j in range(S):
             if j == s:
                 continue
-            m = owner == j
+            m = msk & (owner == j)
             if m.any():
                 ext[m] = n_loc + j * H + np.searchsorted(need[s][j], gsrc[m])
         src_ext[blk] = ext
@@ -203,19 +226,23 @@ def collate(graphs: Sequence[CrystalGraph],
             edge_slots_per_shard: int | None = None,
             num_edge_slots: int | None = None,
             max_degree: int | None = None,
+            halo_edge_slots: int | None = None,
             halo_slots: int | None = None) -> CrystalBatch:
     """Build a static-shape :class:`CrystalBatch` from host graphs.
 
     Mirrors the index-offsetting of the reference collate fns
     (roost_message.py:435-452) then sorts edges by destination and pads.
 
-    ``edge_shards > 1`` lays the edge axis out as S contiguous blocks of
-    ``edge_slots_per_shard`` slots, block ``s`` holding exactly the edges
-    whose destination lies in node slice ``[s*N/S, (s+1)*N/S)`` (dst-sorted
-    within the block, padding edges pointing at the slice's last node). A
-    ``shard_map`` over an ``edge`` mesh axis can then aggregate each block
-    into its local node slice with no cross-shard scatter
-    (SURVEY.md section 5.7 edge partitioning).
+    ``edge_shards > 1`` splits the edge axis into S contiguous LOCAL-src
+    blocks of ``edge_slots_per_shard`` slots (primary edge arrays) plus S
+    HALO-src blocks of ``halo_edge_slots`` slots (``halo_*`` arrays); block
+    ``s`` of each holds exactly the edges whose destination lies in node
+    slice ``[s*N/S, (s+1)*N/S)`` (dst-sorted within the block, suffix
+    padding pointing at the slice's last node). A ``shard_map`` over an
+    ``edge`` mesh axis aggregates each block pair into its local node slice
+    with no cross-shard scatter, and the local block carries no data
+    dependence on the boundary ``all_to_all`` — the per-edge matmuls
+    overlap the exchange (SURVEY.md section 5.7 edge partitioning).
     """
     C = num_graphs if num_graphs is not None else len(graphs)
     assert len(graphs) <= C, "more graphs than slots"
@@ -282,42 +309,76 @@ def collate(graphs: Sequence[CrystalGraph],
 
     e = len(src)
     assert e <= E
+    halo = None
     if edge_shards > 1:
         S = edge_shards
         n_loc = N // S
-        # per-shard edge counts from the dst-sorted array
+        # per-shard edge ranges from the dst-sorted array, then a stable
+        # local/halo partition within each (selection on a sorted array
+        # keeps each sub-block dst-sorted)
         bounds = np.searchsorted(dst, np.arange(1, S + 1) * n_loc,
                                  side="left")
         starts = np.concatenate([[0], bounds[:-1]])
-        counts = bounds - starts
+        owner = src // n_loc
+        loc_counts = np.zeros((S,), np.int64)
+        hal_counts = np.zeros((S,), np.int64)
+        parts = []
+        for s in range(S):
+            sl = slice(starts[s], bounds[s])
+            lm = owner[sl] == s
+            parts.append(lm)
+            loc_counts[s] = int(lm.sum())
+            hal_counts[s] = int(len(lm) - lm.sum())
         if edge_slots_per_shard is None:
             # round up to a whole number of max_nbr rows per shard so shard
             # capacity stays a small set of shapes across batches
-            cap = int(pad_to_bucket(int(counts.max()) if e else 1,
+            cap = int(pad_to_bucket(max(int(loc_counts.max()), 1) if e else 1,
                                     8 * max_nbr))
         else:
             cap = edge_slots_per_shard
-        assert (counts <= cap).all(), \
-            f"edge shard overflow: {counts.tolist()} > {cap} slots"
+        cap_h = (halo_edge_slots if halo_edge_slots is not None
+                 else int(pad_to_bucket(max(int(hal_counts.max()), 1), 16)))
+        assert (loc_counts <= cap).all(), \
+            f"edge shard overflow: {loc_counts.tolist()} > {cap} slots"
+        assert (hal_counts <= cap_h).all(), \
+            f"halo edge overflow: {hal_counts.tolist()} > {cap_h} slots"
         E = S * cap
+        Eh = S * cap_h
         edge_src = np.empty((E,), np.int32)
         edge_dst = np.empty((E,), np.int32)
         edge_shell = np.zeros((E,), np.int32)
         edge_mask = np.zeros((E,), bool)
+        halo_src = np.empty((Eh,), np.int32)
+        halo_dst = np.empty((Eh,), np.int32)
+        halo_shell = np.zeros((Eh,), np.int32)
+        halo_mask = np.zeros((Eh,), bool)
         for s in range(S):
             last = (s + 1) * n_loc - 1  # padding target inside slice s
-            blk = slice(s * cap, (s + 1) * cap)
-            edge_src[blk] = last
-            edge_dst[blk] = last
-            c = counts[s]
-            edge_src[s * cap:s * cap + c] = src[starts[s]:bounds[s]]
-            edge_dst[s * cap:s * cap + c] = dst[starts[s]:bounds[s]]
-            edge_shell[s * cap:s * cap + c] = shell[starts[s]:bounds[s]]
-            edge_mask[s * cap:s * cap + c] = True
-        edge_src_ext, halo_send_idx, _ = _halo_layout(
-            edge_src, n_loc, S, cap, halo_slots)
+            sl = slice(starts[s], bounds[s])
+            lm = parts[s]
+            for arr_s, arr_d, arr_sh, arr_m, c0, m in (
+                    (edge_src, edge_dst, edge_shell, edge_mask,
+                     s * cap, lm),
+                    (halo_src, halo_dst, halo_shell, halo_mask,
+                     s * cap_h, ~lm)):
+                width = cap if arr_s is edge_src else cap_h
+                arr_s[c0:c0 + width] = last
+                arr_d[c0:c0 + width] = last
+                c = int(m.sum())
+                arr_s[c0:c0 + c] = src[sl][m]
+                arr_d[c0:c0 + c] = dst[sl][m]
+                arr_sh[c0:c0 + c] = shell[sl][m]
+                arr_m[c0:c0 + c] = True
+        halo_src_ext, halo_send_idx, _ = _halo_layout(
+            halo_src, halo_mask, n_loc, S, cap_h, halo_slots)
+        halo = dict(
+            halo_src=jnp.asarray(halo_src),
+            halo_dst=jnp.asarray(halo_dst),
+            halo_shell=jnp.asarray(halo_shell),
+            halo_mask=jnp.asarray(halo_mask),
+            halo_src_ext=jnp.asarray(halo_src_ext),
+            halo_send_idx=jnp.asarray(halo_send_idx))
     else:
-        edge_src_ext = halo_send_idx = None
         edge_src = np.full((E,), N - 1, np.int32)
         edge_dst = np.full((E,), N - 1, np.int32)
         edge_shell = np.zeros((E,), np.int32)
@@ -342,8 +403,5 @@ def collate(graphs: Sequence[CrystalGraph],
         comp_mask=jnp.asarray(comp_mask),
         target=jnp.asarray(target),
         graph_mask=jnp.asarray(graph_mask),
-        edge_src_ext=(None if edge_src_ext is None
-                      else jnp.asarray(edge_src_ext)),
-        halo_send_idx=(None if halo_send_idx is None
-                       else jnp.asarray(halo_send_idx)),
+        **(halo or {}),
     )

@@ -32,8 +32,8 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..data.batching import CrystalBatch
-from ..ops.attention import edge_softmax_aggregate
-from ..ops.segment import segment_softmax, segment_sum
+from ..ops.attention import edge_softmax_aggregate, edge_softmax_aggregate_pair
+from ..ops.segment import segment_softmax, segment_softmax_pair, segment_sum
 from .blocks import MultiHeadNetwork, ResidualNetwork, TorchLinear
 from .hyper import HNet, HNet0
 from .roost import Roost
@@ -101,19 +101,22 @@ class GATConvNodes(nn.Module):
     dtype: jnp.dtype | None = None
     hyper_remat: bool = False
     split_projection: bool = False
+    pair_backend: str | None = None   # aggregation backend for halo pairs
 
     @nn.compact
     def __call__(self, x, edge_src, edge_dst, edge_attr, x_0, edge_mask,
-                 *, deterministic=True, x_src_table=None):
-        """Edge-sharded mode (inside a ``shard_map`` over an edge axis):
-        ``x``/``x_0`` are the LOCAL node slice, ``edge_dst`` the destination
-        ids shifted into the local slice (the collate layout guarantees every
-        local edge's dst lies there, so aggregation needs no cross-shard
-        scatter), and ``edge_src``/``x_src_table`` the extended-local source
-        ids into [local nodes | halo rows] — only boundary features crossed
-        the ICI (models.cgat.CGAtNet halo exchange)."""
+                 *, deterministic=True, halo=None):
+        """Edge-sharded mode (``halo`` is not None — inside a ``shard_map``
+        over an edge axis, or a single-device view of the same layout):
+        ``x``/``x_0`` are the LOCAL node slice, the primary edge args the
+        LOCAL-src block (source AND destination ids inside the slice, so its
+        gathers and per-edge matmuls touch only ``x`` and overlap the
+        boundary ``all_to_all``), and ``halo = (src_h, dst_h, attr_h,
+        mask_h, table_h)`` the HALO-src block, whose sources index
+        ``table_h`` = [local nodes | received halo rows]. The segment
+        softmax normalises across BOTH blocks (the exact union semantics of
+        the unsharded layer)."""
         num_nodes = x.shape[0]
-        src_table = x if x_src_table is None else x_src_table
         dst_l = edge_dst
         cat_dim = 2 * self.in_channels + self.nbr_channels
         hidden = int(cat_dim / 1.5)
@@ -122,17 +125,38 @@ class GATConvNodes(nn.Module):
             hidden, self.heads, dtype=self.dtype, name="MH_A")
         mh_m = MultiHeadNetwork(cat_dim, self.out_channels, hidden,
                                 self.heads, dtype=self.dtype, name="MH_M")
-        if self.split_projection:
-            parts = [(x, edge_dst), (edge_attr, None),
-                     (src_table, edge_src)]
+        if self.split_projection and halo is None:
+            parts = [(x, edge_dst), (edge_attr, None), (x, edge_src)]
             alpha = mh_a(split_parts=parts)
             m = mh_m(split_parts=parts)
         else:
             m_cat = jnp.concatenate([x[edge_dst], edge_attr,
-                                     src_table[edge_src]], axis=-1)
+                                     x[edge_src]], axis=-1)
             alpha = mh_a(m_cat)
             m = mh_m(m_cat)
-        if self.dropout > 0.0 and not deterministic:
+        if halo is not None:
+            src_h, dst_h, attr_h, mask_h, table_h = halo
+            m_cat_h = jnp.concatenate([x[dst_h], attr_h,
+                                       table_h[src_h]], axis=-1)
+            alpha_h = mh_a(m_cat_h)
+            m_h = mh_m(m_cat_h)
+            if self.dropout > 0.0 and not deterministic:
+                w, w_h = segment_softmax_pair(alpha, dst_l, edge_mask,
+                                              alpha_h, dst_h, mask_h,
+                                              num_nodes)
+                drop = nn.Dropout(self.dropout, deterministic=False)
+                w, w_h = drop(w), drop(w_h)
+                aggr = (segment_sum(
+                            jnp.where(edge_mask[:, None, None], w * m, 0.0),
+                            dst_l, num_nodes)
+                        + segment_sum(
+                            jnp.where(mask_h[:, None, None], w_h * m_h, 0.0),
+                            dst_h, num_nodes))
+            else:
+                aggr = edge_softmax_aggregate_pair(
+                    alpha, m, dst_l, edge_mask, alpha_h, m_h, dst_h, mask_h,
+                    num_nodes, backend=self.pair_backend)
+        elif self.dropout > 0.0 and not deterministic:
             w = segment_softmax(alpha, dst_l, num_nodes, mask=edge_mask)
             w = nn.Dropout(self.dropout, deterministic=False)(w)
             weighted = jnp.where(edge_mask[:, None, None], w * m, 0.0)
@@ -273,17 +297,28 @@ class CGAtNet(nn.Module):
         features (sources referenced by another shard's edges) are exchanged
         via a static-shape ``all_to_all`` over ICI — comm per layer is
         O(S*halo*F), proportional to the partition boundary, not O(N*F).
-        The exchange depends only on the layer's input features, so XLA can
-        overlap the collective with the layer's local per-edge compute. All
-        per-edge tensors and per-node hypernetwork weights stay local — the
-        GNN analogue of sequence parallelism (SURVEY.md section 5.7)."""
+        The collate layout splits each shard's edges into a LOCAL-src block
+        and a HALO-src block: the local block's gathers and per-edge matmuls
+        (the layer's dominant compute) read only the local node slice and
+        carry NO data dependence on the collective, so XLA overlaps the
+        exchange with them; only the small halo block consumes the received
+        rows. Structural independence is asserted in
+        tests/test_parallel.py::test_halo_overlap_independence. All per-edge
+        tensors and per-node hypernetwork weights stay local — the GNN
+        analogue of sequence parallelism (SURVEY.md section 5.7)."""
         cfg = self.config
         dt = cfg.dtype
+        halo_mode = batch.halo_dst is not None
         if edge_axis is not None:
+            assert halo_mode, \
+                "edge_axis requires an edge-sharded collate (edge_shards>1)"
             n_loc = batch.nodes.shape[0]
             offset = jax.lax.axis_index(edge_axis) * n_loc
             dst_idx = batch.edge_dst - offset
-            src_idx = batch.edge_src_ext
+            src_idx = batch.edge_src - offset      # local block: all local
+            dst_h = batch.halo_dst - offset
+            src_h = batch.halo_src_ext             # into [local | halo rows]
+            pair_backend = None                    # module default (pallas ok)
 
             def src_table(x):
                 """[local nodes | halo rows]: exchange boundary features."""
@@ -291,19 +326,32 @@ class CGAtNet(nn.Module):
                 recv = jax.lax.all_to_all(payload, edge_axis, 0, 0)
                 return jnp.concatenate(
                     [x, recv.reshape(-1, x.shape[-1])], axis=0)
+        elif halo_mode:
+            # single-device consumption of an edge-sharded layout (tests /
+            # oracles): same block-pair dataflow, the "exchange" is identity.
+            # Padding interleaves between shard blocks here (not a global
+            # False-suffix), so the pair aggregation must take the XLA path.
+            dst_idx, src_idx = batch.edge_dst, batch.edge_src
+            dst_h, src_h = batch.halo_dst, batch.halo_src
+            pair_backend = "xla"
+            src_table = lambda x: x
         else:
             dst_idx = batch.edge_dst
             src_idx = batch.edge_src
+            pair_backend = None
             src_table = lambda x: None
 
-        edge_attr = nn.Embed(cfg.neighbor_number + 1, cfg.nbr_embedding_size,
+        nbr_embed = nn.Embed(cfg.neighbor_number + 1, cfg.nbr_embedding_size,
                              embedding_init=nn.initializers.normal(1.0),
-                             name="nbr_embedding")(batch.edge_shell)
-        edge_attr = jnp.asarray(edge_attr, dt)
+                             name="nbr_embedding")
+        edge_attr = jnp.asarray(nbr_embed(batch.edge_shell), dt)
         elem_fea = TorchLinear(cfg.elem_fea_len, use_bias=False, dtype=dt,
                                name="embedding")(jnp.asarray(batch.nodes, dt))
         elem_fea_0 = elem_fea
         edge_attr_0 = edge_attr
+        if halo_mode:
+            edge_attr_h = jnp.asarray(nbr_embed(batch.halo_shell), dt)
+            edge_attr_h_0 = edge_attr_h
 
         # rematerialise MP layers in the backward pass: the per-node
         # hypernetwork weight tensors (N, out, in) dominate activation memory
@@ -317,6 +365,7 @@ class CGAtNet(nn.Module):
                             first=(i == 0), dropout=cfg.dropout, dtype=dt,
                             hyper_remat=cfg.hyper_remat,
                             split_projection=cfg.split_projection,
+                            pair_backend=pair_backend,
                             name=f"graph_{i}_Node")
 
         def edge_layer(i):
@@ -329,25 +378,30 @@ class CGAtNet(nn.Module):
                             name=f"graph_{i}_Edge")
 
         for i in range(cfg.n_graph):
-            x_src = src_table(elem_fea)
-            if cfg.update_edges:
-                node_update = node_layer(i)(
-                    elem_fea, src_idx, dst_idx, edge_attr,
-                    elem_fea_0, batch.edge_mask, deterministic=deterministic,
-                    x_src_table=x_src)
-                edge_attr = edge_attr + edge_layer(i)(
-                    elem_fea, src_idx, dst_idx, edge_attr,
-                    edge_attr_0, batch.edge_mask, deterministic=deterministic,
-                    x_src_table=x_src)
-                elem_fea = elem_fea + node_update
+            if halo_mode:
+                table = src_table(elem_fea)   # issues the all_to_all (or id)
+                halo_n = (src_h, dst_h, edge_attr_h, batch.halo_mask, table)
             else:
-                # Reference's update_edges=False branch passes positionally
-                # broken args (CGAT.py:406-425, dead under defaults); we build
-                # the sane equivalent: node-only attention stack.
-                elem_fea = elem_fea + node_layer(i)(
+                table = halo_n = None
+            node_update = node_layer(i)(
+                elem_fea, src_idx, dst_idx, edge_attr,
+                elem_fea_0, batch.edge_mask, deterministic=deterministic,
+                halo=halo_n)
+            if cfg.update_edges:
+                el = edge_layer(i)
+                edge_attr = edge_attr + el(
                     elem_fea, src_idx, dst_idx, edge_attr,
-                    elem_fea_0, batch.edge_mask, deterministic=deterministic,
-                    x_src_table=x_src)
+                    edge_attr_0, batch.edge_mask,
+                    deterministic=deterministic)
+                if halo_mode:
+                    edge_attr_h = edge_attr_h + el(
+                        elem_fea, src_h, dst_h, edge_attr_h,
+                        edge_attr_h_0, batch.halo_mask,
+                        deterministic=deterministic, x_src_table=table)
+            # else: the reference's update_edges=False branch passes
+            # positionally broken args (CGAT.py:406-425, dead under
+            # defaults); we build the sane equivalent: node-only stack.
+            elem_fea = elem_fea + node_update
 
         # composition/output head run replicated (tiny (C, ...) work; the
         # trainer divides the loss by the edge axis size so psum'd gradients

@@ -58,6 +58,33 @@ def edge_softmax_aggregate(alpha, m, edge_dst, num_nodes, *, edge_mask=None,
     return seg.segment_sum(weighted, edge_dst, num_nodes)
 
 
+def edge_softmax_aggregate_pair(alpha_l, m_l, dst_l, mask_l,
+                                alpha_h, m_h, dst_h, mask_h, num_nodes, *,
+                                backend=None):
+    """Fused aggregation over a LOCAL-src + HALO-src edge block pair.
+
+    Mathematically identical to :func:`edge_softmax_aggregate` on the
+    concatenated blocks — the softmax normalises over every edge incident at
+    a destination node across both blocks — but keeps the blocks separate so
+    the local block's per-edge matmuls carry no data dependence on the halo
+    ``all_to_all`` (comm/compute overlap, SURVEY.md section 5.7). Both blocks
+    must be dst-sorted; on the Pallas path each block additionally needs a
+    False-suffix mask (the per-shard collate layout).
+    """
+    backend = backend or _BACKEND
+    if backend == "pallas":
+        from .pallas import edge_softmax_aggregate_pair as _pallas_impl
+        return _pallas_impl(alpha_l, m_l, dst_l, mask_l,
+                            alpha_h, m_h, dst_h, mask_h, num_nodes)
+    w_l, w_h = seg.segment_softmax_pair(alpha_l, dst_l, mask_l,
+                                        alpha_h, dst_h, mask_h, num_nodes)
+    agg_l = seg.segment_sum(
+        jnp.where(mask_l[:, None, None], w_l * m_l, 0.0), dst_l, num_nodes)
+    agg_h = seg.segment_sum(
+        jnp.where(mask_h[:, None, None], w_h * m_h, 0.0), dst_h, num_nodes)
+    return agg_l + agg_h
+
+
 def headnorm_attention(alpha, m, *, out_channels, vector_attention, edge_mask=None):
     """GATConvEdges' head-normalised attention (reference CGAT/CGAT.py:212-223).
 

@@ -1,3 +1,4 @@
-from .segment_attention import edge_softmax_aggregate
+from .segment_attention import (edge_softmax_aggregate,
+                                edge_softmax_aggregate_pair)
 
-__all__ = ["edge_softmax_aggregate"]
+__all__ = ["edge_softmax_aggregate", "edge_softmax_aggregate_pair"]

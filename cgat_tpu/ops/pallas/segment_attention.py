@@ -318,6 +318,21 @@ def _vjp_fwd(alpha2, m2, dst2, n_real, num_nodes, bn, be, interpret):
 
 def _vjp_bwd(num_nodes, bn, be, interpret, res, g):
     alpha2, m2, dst2, n_real, maxv, den, out, offn = res
+    # fold the cotangent and the softmax denominator into one term (see
+    # _bwd_call): q = g / (den + eps)
+    dalpha, dm = _bwd_call(alpha2, m2, dst2, n_real, g / (den + EPS), maxv,
+                           out, offn, num_nodes, be, interpret)
+    return dalpha, dm, None, None
+
+
+def _bwd_call(alpha2, m2, dst2, n_real, q, maxv, out, offn, num_nodes, be,
+              interpret):
+    """Backward kernel launch shared by the single-array op and the
+    local/halo pair op: d_alpha_e = p_e*g_n*(m_e - out_n), d_m_e = p_e*g_n
+    with p_e = exp(alpha_e - maxv_n) * q_n and q = g/(den+eps). Exact for
+    ANY per-node shift ``maxv`` as long as ``den``/``out`` used it too —
+    which is what lets the pair op pass MERGED (gmax, den, out) node arrays
+    here and get the true VJP of the union softmax per block."""
     e_tot, hf = alpha2.shape
     # much smaller blocks than fwd: the gather matmul is (BE, BE+8) x
     # (BE+8, 3*HF), so total backward gather FLOPs scale with E*(BE+8) —
@@ -353,8 +368,7 @@ def _vjp_bwd(num_nodes, bn, be, interpret, res, g):
     lo_win = jnp.pad(offw[:, :span], lane_pad)
     hi_win = jnp.pad(offw[:, 1:], lane_pad)
 
-    # fold the cotangent and the softmax denominator into one term: the
-    # gather DMA and one-hot matmul shrink from 4*HF to 3*HF wide with no
+    # the gather DMA and one-hot matmul are 3*HF wide ([q|max|out]) with no
     # precision loss (one exact-ish divide; no extra log/exp rounding).
     # bf16 compute mode additionally ships the node slices AND the edge
     # cotangents in bf16 (the kernel is HBM-bound, docs/PERFORMANCE.md
@@ -364,7 +378,6 @@ def _vjp_bwd(num_nodes, bn, be, interpret, res, g):
     # alpha/m rounding the mode already carries (measured vs the XLA bf16
     # path in tests/test_pallas_kernels.py).
     io_dtype = jnp.bfloat16 if bf16 else jnp.float32
-    q = g / (den + EPS)                                       # (N, HF)
     nodecat = jnp.concatenate(
         [q.astype(io_dtype), maxv.astype(io_dtype),
          out.astype(io_dtype)], axis=1)                       # (N, 3*HF)
@@ -402,10 +415,119 @@ def _vjp_bwd(num_nodes, bn, be, interpret, res, g):
         interpret=interpret,
         name="seg_attn_bwd",
     )(meta, alpha2, m2, lo_win, hi_win, nodecat)
-    return dalpha, dm, None, None
+    return dalpha, dm
 
 
 _edge_softmax_aggregate.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Local/halo edge-block PAIR op (edge-partitioned halo overlap)
+# ---------------------------------------------------------------------------
+# The edge-sharded collate layout splits every shard's edges into a
+# LOCAL-src block and a HALO-src block (cgat_tpu/data/batching.py) so the
+# local block's per-edge matmuls can overlap the boundary ``all_to_all``
+# (SURVEY.md section 5.7). The softmax still normalises across both blocks:
+# run the forward kernel per block (it already emits per-node shift and
+# denominator) and merge flash-attention style; the backward reuses the
+# per-block kernel with the MERGED (gmax, den, out) node arrays — exact,
+# because the backward formula holds for any shift the denominator used.
+
+
+def _pair_fwd_impl(al, ml, dl, nl, ah, mh_, dh, nh, num_nodes, bn, be_l,
+                   be_h, interpret):
+    out_l, max_l, den_l, offn_l = _fwd_impl(al, ml, dl, nl, num_nodes, bn,
+                                            be_l, interpret)
+    out_h, max_h, den_h, offn_h = _fwd_impl(ah, mh_, dh, nh, num_nodes, bn,
+                                            be_h, interpret)
+    gmax = jnp.maximum(max_l, max_h)
+    sl = jnp.exp(max_l - gmax)
+    sh = jnp.exp(max_h - gmax)
+    # out_b * (den_b + EPS) reconstructs each block's unnormalised numerator
+    # exactly (one rounding trip); rescale both to the common shift gmax
+    den = den_l * sl + den_h * sh
+    num = out_l * (den_l + EPS) * sl + out_h * (den_h + EPS) * sh
+    out = num / (den + EPS)
+    return out, gmax, den, offn_l, offn_h
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12))
+def _pair_aggregate(al, ml, dl, nl, ah, mh_, dh, nh, num_nodes, bn, be_l,
+                    be_h, interpret):
+    out, _, _, _, _ = _pair_fwd_impl(al, ml, dl, nl, ah, mh_, dh, nh,
+                                     num_nodes, bn, be_l, be_h, interpret)
+    return out
+
+
+def _pair_vjp_fwd(al, ml, dl, nl, ah, mh_, dh, nh, num_nodes, bn, be_l,
+                  be_h, interpret):
+    out, gmax, den, offn_l, offn_h = _pair_fwd_impl(
+        al, ml, dl, nl, ah, mh_, dh, nh, num_nodes, bn, be_l, be_h, interpret)
+    return out, (al, ml, dl, nl, ah, mh_, dh, nh, gmax, den, out,
+                 offn_l, offn_h)
+
+
+def _pair_vjp_bwd(num_nodes, bn, be_l, be_h, interpret, res, g):
+    al, ml, dl, nl, ah, mh_, dh, nh, gmax, den, out, offn_l, offn_h = res
+    q = g / (den + EPS)
+    dal, dml = _bwd_call(al, ml, dl, nl, q, gmax, out, offn_l, num_nodes,
+                         be_l, interpret)
+    dah, dmh = _bwd_call(ah, mh_, dh, nh, q, gmax, out, offn_h, num_nodes,
+                         be_h, interpret)
+    return dal, dml, None, None, dah, dmh, None, None
+
+
+_pair_aggregate.defvjp(_pair_vjp_fwd, _pair_vjp_bwd)
+
+
+def _prep_block(alpha, m, edge_dst, edge_mask, num_nodes, block_edges):
+    """Flatten (E, H, F) -> (E, HF), compute the real-edge count from the
+    False-suffix mask, and pad the edge axis to a whole number of blocks
+    (sublane-friendly: block sizes are multiples of 16 so bf16 DMA windows
+    stay aligned even for tiny halo blocks)."""
+    e_tot, h, f = alpha.shape
+    hf = h * f
+    keep = alpha.dtype if alpha.dtype == jnp.bfloat16 else jnp.float32
+    alpha2 = alpha.astype(keep).reshape(e_tot, hf)
+    m2 = m.astype(keep).reshape(e_tot, hf)
+    dst2 = edge_dst.astype(jnp.int32).reshape(e_tot, 1)
+    n_real = (jnp.sum(edge_mask.astype(jnp.int32)) if edge_mask is not None
+              else jnp.asarray(e_tot, jnp.int32))
+    be = min(block_edges, -(-e_tot // 16) * 16)
+    if e_tot % be:
+        extra = be - e_tot % be
+        alpha2 = jnp.pad(alpha2, ((0, extra), (0, 0)))
+        m2 = jnp.pad(m2, ((0, extra), (0, 0)))
+        dst2 = jnp.pad(dst2, ((0, extra), (0, 0)),
+                       constant_values=num_nodes - 1)
+    return alpha2, m2, dst2, n_real, be
+
+
+def edge_softmax_aggregate_pair(alpha_l, m_l, dst_l, mask_l,
+                                alpha_h, m_h, dst_h, mask_h, num_nodes, *,
+                                block_nodes: int = BLOCK_NODES,
+                                block_edges: int = BLOCK_EDGES,
+                                interpret: bool | None = None):
+    """Fused union-softmax aggregate over a local/halo edge-block pair.
+
+    Same contract as ``cgat_tpu.ops.attention.edge_softmax_aggregate_pair``
+    (XLA path). Requirements per block: dst-sorted edges, False-suffix mask
+    (the edge-sharded collate layout guarantees both per shard)."""
+    if interpret is None:
+        interpret = INTERPRET or jax.default_backend() != "tpu"
+    e_l, h, f = alpha_l.shape
+    hf = h * f
+    if f == 1 or hf % 128 != 0:
+        from ..attention import edge_softmax_aggregate_pair as xla_impl
+        return xla_impl(alpha_l, m_l, dst_l, mask_l, alpha_h, m_h, dst_h,
+                        mask_h, num_nodes, backend="xla")
+    al, ml, dl, nl, be_l = _prep_block(alpha_l, m_l, dst_l, mask_l,
+                                       num_nodes, block_edges)
+    ah, mh_, dh, nh, be_h = _prep_block(alpha_h, m_h, dst_h, mask_h,
+                                        num_nodes, block_edges)
+    out = _pair_aggregate(al, ml, dl, nl, ah, mh_, dh, nh, num_nodes,
+                          block_nodes, be_l, be_h, interpret)
+    return out.reshape(num_nodes, h, f).astype(alpha_l.dtype)
 
 
 def edge_softmax_aggregate(alpha, m, edge_dst, num_nodes, *, edge_mask=None,

@@ -90,6 +90,39 @@ def segment_softmax(scores, segment_ids, num_segments, *, mask=None,
     return unnorm / (denom[segment_ids] + eps)
 
 
+def segment_softmax_pair(scores_a, ids_a, mask_a, scores_b, ids_b, mask_b,
+                         num_segments, *, indices_are_sorted=True,
+                         eps=SOFTMAX_EPS):
+    """Segment softmax over the UNION of two edge blocks.
+
+    The edge-partitioned layout stores each shard's edges as a local-src
+    block and a halo-src block (cgat_tpu.data.batching) so the local block's
+    matmuls can overlap the boundary ``all_to_all``; the softmax still
+    normalises over every edge incident at a destination node, across both
+    blocks. Returns the normalised weights of each block ``(w_a, w_b)`` —
+    numerically identical (shift-invariance) to :func:`segment_softmax` on
+    the concatenated blocks.
+    """
+    sa = jnp.where(_expand(mask_a, scores_a), scores_a, NEG_BIG)
+    sb = jnp.where(_expand(mask_b, scores_b), scores_b, NEG_BIG)
+    mx = jnp.maximum(
+        segment_max(sa, ids_a, num_segments,
+                    indices_are_sorted=indices_are_sorted),
+        segment_max(sb, ids_b, num_segments,
+                    indices_are_sorted=indices_are_sorted))
+    mx = jnp.maximum(mx, NEG_BIG)
+    # exponentiate the MASKED scores (sa/sb): masked rows sit at NEG_BIG so
+    # the shifted exponent stays <= 0 — exponentiating the raw scores would
+    # put inf in the untaken where-branch and NaN the gradient
+    ea = jnp.where(_expand(mask_a, sa), jnp.exp(sa - mx[ids_a]), 0.0)
+    eb = jnp.where(_expand(mask_b, sb), jnp.exp(sb - mx[ids_b]), 0.0)
+    den = (segment_sum(ea, ids_a, num_segments,
+                       indices_are_sorted=indices_are_sorted)
+           + segment_sum(eb, ids_b, num_segments,
+                         indices_are_sorted=indices_are_sorted))
+    return ea / (den[ids_a] + eps), eb / (den[ids_b] + eps)
+
+
 def weighted_segment_softmax(scores, weights, pow_, segment_ids, num_segments,
                              *, mask=None, indices_are_sorted=True, eps=1e-13):
     """Roost's WeightedAttention gate (reference roost_message.py:302-311).

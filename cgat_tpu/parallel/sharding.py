@@ -24,8 +24,11 @@ _EDGE_FIELDS = ("edge_src", "edge_dst", "edge_shell", "edge_mask")
 # shard_map path: each edge shard owns the node slice its edges point at)
 _NODE_FIELDS = ("nodes", "node_mask", "node2graph")
 # halo structure: present only on edge-sharded batches (None otherwise),
-# axis 1 partitioned over `edge` like the edge arrays
-_HALO_FIELDS = ("edge_src_ext", "halo_send_idx")
+# axis 1 partitioned over `edge` like the edge arrays (the halo_* arrays are
+# the per-shard HALO-src edge blocks; the primary edge arrays hold the
+# LOCAL-src blocks)
+_HALO_FIELDS = ("halo_src", "halo_dst", "halo_shell", "halo_mask",
+                "halo_src_ext", "halo_send_idx")
 
 
 def stack_batches(batches) -> CrystalBatch:

@@ -258,12 +258,14 @@ def collate_group(chunks, *, batch_size, max_nbr, node_bucket,
     # pin the feature width so empty tail chunks (drop_last=False) collate
     # to the same shape as the real ones
     fea = next((c[0].atom_fea.shape[1] for c in chunks if c), None)
-    cap = halo = None
+    cap = cap_h = halo = None
     if S > 1:
         from ..data.batching import edge_shard_counts, halo_pair_max
-        worst = max(int(edge_shard_counts(c, n_max, S).max())
-                    for c in chunks)
-        cap = pad_to_bucket(max(worst, 1), 8 * max_nbr)
+        splits = [edge_shard_counts(c, n_max, S) for c in chunks]
+        cap = pad_to_bucket(max(max(int(l.max()) for l, _ in splits), 1),
+                            8 * max_nbr)
+        cap_h = pad_to_bucket(max(max(int(h.max()) for _, h in splits), 1),
+                              16)
         halo = max(8, pad_to_bucket(
             max(halo_pair_max(c, n_max, S) for c in chunks), 8))
     d_local = D // process_count
@@ -272,7 +274,7 @@ def collate_group(chunks, *, batch_size, max_nbr, node_bucket,
                        num_comp_slots=num_comp_slots,
                        num_node_slots=n_max, orig_fea=fea,
                        edge_shards=S, edge_slots_per_shard=cap,
-                       halo_slots=halo,
+                       halo_edge_slots=cap_h, halo_slots=halo,
                        max_degree=(max_degree if S == 1 else None))
                for c in local]
     return stack_batches(batches)

@@ -109,6 +109,39 @@ def summarize(acct: dict, seconds: float, *,
     }
 
 
+def hyper_fwd_accounting(b: int, c: int, i: int, o: int,
+                         dtype_bytes: int = 2) -> dict:
+    """DMA bytes + MXU FLOPs of one fused hyper_apply forward call
+    (ops/pallas/hyper_apply.py::_fwd_kernel): predict matmul (B, C) x (C, F)
+    plus the block-diagonal one-hot apply (B, W) x (W, O); K stays resident
+    in VMEM across the grid (read once)."""
+    f = o * i + o
+    w = o * i
+    read = (b * c + b * i + c * f) * dtype_bytes + f * dtype_bytes
+    write = b * o * dtype_bytes
+    flops = b * (2.0 * c * f + 2.0 * w * o)
+    return {"dma_bytes": float(read + write), "mxu_flops": float(flops)}
+
+
+def hyper_bwd_accounting(b: int, c: int, i: int, o: int,
+                         dtype_bytes: int = 2) -> dict:
+    """Combined accounting of the two fused backward kernels
+    (hyper_apply_bwd_dhdx + hyper_apply_bwd_dk)."""
+    f = o * i + o
+    w = o * i
+    # dh/dx kernel: reads hidden/x/g blocks + K resident; writes dh, dx
+    read = (b * (c + i + o) + c * f) * dtype_bytes
+    write = b * (c + i) * dtype_bytes
+    # per row: gt one-hot 2*O*W, P recompute 2*C*W, dh 2*W*C, dx 2*W*I,
+    # bias tail 2*O*C
+    flops = b * (2.0 * o * w + 4.0 * c * w + 2.0 * w * i + 2.0 * o * c)
+    # dK kernel: h^T/x/g resident (read once); writes dK
+    read += (b * (c + i + o)) * dtype_bytes
+    write += (c * w) * dtype_bytes + w * 4
+    flops += b * 2.0 * (o + c) * w
+    return {"dma_bytes": float(read + write), "mxu_flops": float(flops)}
+
+
 def headline_shapes(batch, heads: int = 5, fea: int = 128):
     """(edge_dst, n_real, num_nodes, hf, e_tot_padded) for a collated batch,
     matching what edge_softmax_aggregate hands the kernel."""
@@ -215,6 +248,69 @@ def measure_kernels(batch_size: int = 64, iters: int = 20, trials: int = 0):
         "fwd": {**facct, **summarize(facct, t_fwd, bf16_matmul=True)},
         "bwd": {**bacct, **summarize(bacct, t_bwd, bf16_matmul=True)},
         "xla_wrapper_us_per_call": round(wrapper / 3 * 1e6, 1),
+    }
+
+
+def measure_hyper_kernels(b: int = 768, c: int = 128, i_ch: int = 128,
+                          o_ch: int = 128, iters: int = 20):
+    """Device-trace measurement of the fused hyper predict+apply kernels at
+    the flagship per-node call-site shape (B = node slots of a batch-64
+    collate, C = I = O = 128). Same methodology as measure_kernels."""
+    import tempfile
+
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops.pallas.hyper_apply import hyper_apply
+
+    f = o_ch * i_ch + o_ch
+    rng = np.random.default_rng(0)
+    hidden = jnp.asarray(rng.standard_normal((b, c)), jnp.bfloat16)
+    kernel = jnp.asarray(rng.standard_normal((c, f)) * 0.01, jnp.bfloat16)
+    bias = jnp.asarray(rng.standard_normal((f,)) * 0.01, jnp.bfloat16)
+    x = jnp.asarray(rng.standard_normal((b, i_ch)), jnp.bfloat16)
+
+    fwd = jax.jit(lambda h, xx: hyper_apply(h, kernel, bias, xx, out_ch=o_ch))
+    grad = jax.jit(jax.grad(lambda h, xx: jnp.sum(
+        hyper_apply(h, kernel, bias, xx, out_ch=o_ch).astype(jnp.float32)),
+        argnums=(0, 1)))
+
+    r = fwd(hidden, x)
+    _ = float(jnp.sum(r.astype(jnp.float32)))
+    g = grad(hidden, x)
+    _ = float(jnp.sum(g[0].astype(jnp.float32)))
+
+    with tempfile.TemporaryDirectory() as td:
+        jax.profiler.start_trace(td)
+        for _ in range(iters):
+            r = fwd(hidden, x)
+        _ = float(jnp.sum(r.astype(jnp.float32)))
+        for _ in range(iters):
+            g = grad(hidden, x)
+        _ = float(jnp.sum(g[0].astype(jnp.float32)))
+        jax.profiler.stop_trace()
+        times = _device_kernel_times(td)
+
+    def named(prefix):
+        tot = 0.0
+        hit = False
+        for name, (dur, _n) in times.items():
+            if prefix in name:
+                tot += dur
+                hit = True
+        return tot if hit else float("nan")
+
+    t_fwd = named("hyper_apply_fwd")
+    # the backward runs two kernels (dh/dx + dK); report their sum; the
+    # grad jit also re-runs the forward kernel, don't double count it
+    t_bwd = named("hyper_apply_bwd_dhdx") + named("hyper_apply_bwd_dk")
+
+    facct = hyper_fwd_accounting(b, c, i_ch, o_ch)
+    bacct = hyper_bwd_accounting(b, c, i_ch, o_ch)
+    return {
+        "config": {"b": b, "c": c, "i": i_ch, "o": o_ch},
+        "fwd": {**facct, **summarize(facct, t_fwd, bf16_matmul=True)},
+        "bwd": {**bacct, **summarize(bacct, t_bwd, bf16_matmul=True)},
     }
 
 

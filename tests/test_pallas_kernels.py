@@ -198,3 +198,112 @@ def test_hyper_apply_fused_matches_xla(rng):
             a = np.asarray(a, np.float32)
             w = np.asarray(w, np.float32)
             assert np.linalg.norm(a - w) / (np.linalg.norm(w) + 1e-30) < 3e-2
+
+
+# ---------------------------------------------------------------------------
+# local/halo edge-block PAIR op (halo-overlap layout)
+# ---------------------------------------------------------------------------
+
+def make_pair_problem(rng, n_nodes=64, n_l=700, e_l=768, n_h=90, e_h=128,
+                      h=2, f=128, dtype=np.float32):
+    """Two dst-sorted, suffix-masked edge blocks over the same node set."""
+    def block(n_real, e_tot):
+        dst = np.sort(rng.integers(0, n_nodes, size=n_real)).astype(np.int32)
+        dst = np.concatenate([dst, np.full(e_tot - n_real, n_nodes - 1,
+                                           np.int32)])
+        mask = np.zeros(e_tot, bool)
+        mask[:n_real] = True
+        alpha = rng.standard_normal((e_tot, h, f)).astype(dtype) * 2
+        m = rng.standard_normal((e_tot, h, f)).astype(dtype)
+        return (jnp.asarray(alpha), jnp.asarray(m), jnp.asarray(dst),
+                jnp.asarray(mask))
+    return block(n_l, e_l), block(n_h, e_h), n_nodes
+
+
+def _union_oracle(lb, hb, n):
+    """Single-array op on the concatenated blocks (mask-aware, unsorted ok
+    on the XLA path via explicit masking and two-pass softmax)."""
+    from cgat_tpu.ops import segment as seg
+    alpha = jnp.concatenate([lb[0], hb[0]])
+    m = jnp.concatenate([lb[1], hb[1]])
+    dst = jnp.concatenate([lb[2], hb[2]])
+    mask = jnp.concatenate([lb[3], hb[3]])
+    w = seg.segment_softmax(alpha, dst, n, mask=mask,
+                            indices_are_sorted=False)
+    return seg.segment_sum(jnp.where(mask[:, None, None], w * m, 0.0), dst,
+                           n, indices_are_sorted=False)
+
+
+def test_pair_xla_matches_union(rng):
+    from cgat_tpu.ops.attention import edge_softmax_aggregate_pair
+    lb, hb, n = make_pair_problem(rng)
+    want = np.asarray(_union_oracle(lb, hb, n))
+    got = np.asarray(edge_softmax_aggregate_pair(*lb, *hb, n, backend="xla"))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_pair_pallas_matches_union(rng):
+    from cgat_tpu.ops.pallas import edge_softmax_aggregate_pair as pallas_pair
+    lb, hb, n = make_pair_problem(rng)
+    want = np.asarray(_union_oracle(lb, hb, n))
+    got = np.asarray(pallas_pair(*lb, *hb, n, block_nodes=8, block_edges=256,
+                                 interpret=True))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_pair_pallas_gradients(rng):
+    from cgat_tpu.ops.pallas import edge_softmax_aggregate_pair as pallas_pair
+    lb, hb, n = make_pair_problem(rng, n_l=500, n_h=60)
+
+    def loss_o(al, ml, ah, mh_):
+        return jnp.sum(_union_oracle((al, ml, lb[2], lb[3]),
+                                     (ah, mh_, hb[2], hb[3]), n) ** 2)
+
+    def loss_p(al, ml, ah, mh_):
+        return jnp.sum(pallas_pair(al, ml, lb[2], lb[3], ah, mh_, hb[2],
+                                   hb[3], n, block_nodes=8, block_edges=256,
+                                   interpret=True) ** 2)
+
+    go = jax.grad(loss_o, argnums=(0, 1, 2, 3))(lb[0], lb[1], hb[0], hb[1])
+    gp = jax.grad(loss_p, argnums=(0, 1, 2, 3))(lb[0], lb[1], hb[0], hb[1])
+    for a, b in zip(gp, go):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=3e-5, atol=3e-5)
+
+
+def test_pair_tiny_halo_block(rng):
+    """Halo blocks are often tiny (a few boundary edges) — exercise the
+    small-block padding path, including an entirely-empty halo block."""
+    from cgat_tpu.ops.pallas import edge_softmax_aggregate_pair as pallas_pair
+    lb, hb, n = make_pair_problem(rng, n_l=250, e_l=256, n_h=5, e_h=16)
+    want = np.asarray(_union_oracle(lb, hb, n))
+    got = np.asarray(pallas_pair(*lb, *hb, n, block_nodes=8, block_edges=256,
+                                 interpret=True))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+    # empty halo block == plain single-array op
+    hb0 = (hb[0], hb[1], hb[2], jnp.zeros_like(hb[3]))
+    got0 = np.asarray(pallas_pair(*lb, *hb0, n, block_nodes=8,
+                                  block_edges=256, interpret=True))
+    want0 = np.asarray(xla_op(lb[0], lb[1], lb[2], n, edge_mask=lb[3]))
+    np.testing.assert_allclose(got0, want0, rtol=1e-5, atol=1e-5)
+
+
+def test_pair_bf16_mode(rng):
+    from cgat_tpu.ops.pallas import edge_softmax_aggregate_pair as pallas_pair
+    lb, hb, n = make_pair_problem(rng, dtype=np.float32)
+    want = np.asarray(_union_oracle(lb, hb, n))
+    cast = lambda b: (b[0].astype(jnp.bfloat16), b[1].astype(jnp.bfloat16),
+                      b[2], b[3])
+    lb16, hb16 = cast(lb), cast(hb)
+    got = pallas_pair(*lb16, *hb16, n, block_nodes=8, block_edges=256,
+                      interpret=True)
+    assert got.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(got, np.float32), want,
+                               rtol=0.05, atol=0.05)
+    # gradients flow and carry the io dtype
+    g = jax.grad(lambda a: jnp.sum(
+        pallas_pair(a, lb16[1], lb16[2], lb16[3], *hb16, n, block_nodes=8,
+                    block_edges=256, interpret=True).astype(jnp.float32) ** 2
+    ))(lb16[0])
+    assert g.dtype == jnp.bfloat16
+    assert np.isfinite(np.asarray(g, np.float32)).all()

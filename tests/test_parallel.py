@@ -116,30 +116,39 @@ def test_parallel_loader_group_shapes():
 
 
 def test_edge_sharded_collate_layout():
-    """Blocked layout: block s holds exactly the edges with dst in node
-    slice s, dst-sorted, suffix-padded per block — and stays a valid
-    globally-sorted single-device batch."""
+    """Split blocked layout: local block s holds exactly the edges with BOTH
+    endpoints in node slice s, halo block s those with dst in slice s and a
+    remote source; each sub-block dst-sorted, suffix-padded; the union is the
+    plain collate's real edge set."""
     graphs = random_graphs(3, 6, n_atoms_range=(3, 6), max_nbr=4,
                            orig_fea=12)
     b = collate(graphs, max_nbr=4, node_bucket=8, edge_shards=4)
     N = b.nodes.shape[0]
     E = b.edge_src.shape[0]
-    assert N % 4 == 0 and E % 4 == 0
-    n_loc, cap = N // 4, E // 4
-    dst = np.asarray(b.edge_dst)
-    mask = np.asarray(b.edge_mask)
-    for s in range(4):
-        blk = slice(s * cap, (s + 1) * cap)
-        d, m = dst[blk], mask[blk]
-        assert np.all((d >= s * n_loc) & (d < (s + 1) * n_loc))
-        assert np.all(np.diff(d[m]) >= 0)            # sorted within block
-        assert not m[np.argmin(m):].any() if not m.all() else True  # suffix
-    # same real edges as the unsharded layout
+    Eh = b.halo_src.shape[0]
+    assert N % 4 == 0 and E % 4 == 0 and Eh % 4 == 0
+    n_loc, cap, cap_h = N // 4, E // 4, Eh // 4
+    for arrs, local in (((b.edge_src, b.edge_dst, b.edge_mask), True),
+                        ((b.halo_src, b.halo_dst, b.halo_mask), False)):
+        src, dst, mask = map(np.asarray, arrs)
+        c = cap if local else cap_h
+        for s in range(4):
+            blk = slice(s * c, (s + 1) * c)
+            sr, d, m = src[blk], dst[blk], mask[blk]
+            assert np.all((d >= s * n_loc) & (d < (s + 1) * n_loc))
+            assert np.all(np.diff(d[m]) >= 0)        # sorted within block
+            if not m.all():
+                assert not m[np.argmin(m):].any()    # False-suffix
+            owner = sr[m] // n_loc
+            assert np.all(owner == s) if local else np.all(owner != s)
+    # union of both blocks == real edges of the unsharded layout
     b1 = collate(graphs, max_nbr=4, node_bucket=8)
-    real = lambda bb: sorted(zip(np.asarray(bb.edge_src)[np.asarray(bb.edge_mask)],
-                                 np.asarray(bb.edge_dst)[np.asarray(bb.edge_mask)]))
-    assert real(b) == real(b1)
-    assert np.all(np.diff(dst) >= 0)                 # globally sorted too
+    def real(src, dst, mask):
+        src, dst, mask = map(np.asarray, (src, dst, mask))
+        return list(zip(src[mask], dst[mask]))
+    got = sorted(real(b.edge_src, b.edge_dst, b.edge_mask)
+                 + real(b.halo_src, b.halo_dst, b.halo_mask))
+    assert got == sorted(real(b1.edge_src, b1.edge_dst, b1.edge_mask))
 
 
 def test_edge_sharded_shardmap_matches_single_device():
@@ -266,30 +275,114 @@ def test_trainer_fit_multi_device(tmp_path):
 
 
 def test_halo_collate_layout():
-    """Halo structure invariants: every extended source index reconstructs
-    the edge's global source — locals directly, remote ones through the
-    owner's send table row for this shard."""
+    """Halo structure invariants: every real halo edge's extended source
+    index reconstructs its global source through the owner's send-table row
+    for this shard; local-block sources never leave their slice."""
     graphs = random_graphs(7, 6, n_atoms_range=(3, 6), max_nbr=4,
                            orig_fea=12)
     S = 4
     b = collate(graphs, max_nbr=4, node_bucket=8, edge_shards=S)
-    N, E = b.nodes.shape[0], b.edge_src.shape[0]
-    n_loc, cap = N // S, E // S
+    N, Eh = b.nodes.shape[0], b.halo_src.shape[0]
+    n_loc, cap_h = N // S, Eh // S
     send = np.asarray(b.halo_send_idx)     # (S*S, H)
     H = send.shape[1]
-    src = np.asarray(b.edge_src)
-    ext = np.asarray(b.edge_src_ext)
+    src = np.asarray(b.halo_src)
+    ext = np.asarray(b.halo_src_ext)
+    mask = np.asarray(b.halo_mask)
     assert send.shape == (S * S, H)
     assert ((send >= 0) & (send < n_loc)).all()
     for s in range(S):
+        blk = slice(s * cap_h, (s + 1) * cap_h)
+        for g, x, m in zip(src[blk], ext[blk], mask[blk]):
+            if not m:
+                assert 0 <= x < n_loc   # padding points at a safe local row
+                continue
+            assert x >= n_loc           # real halo edges are always remote
+            j, pos = divmod(x - n_loc, H)
+            assert j != s
+            assert g == j * n_loc + send[j * S + s, pos]
+    # local block: both endpoints in the shard's slice
+    E = b.edge_src.shape[0]
+    cap = E // S
+    lsrc, lmask = np.asarray(b.edge_src), np.asarray(b.edge_mask)
+    for s in range(S):
         blk = slice(s * cap, (s + 1) * cap)
-        for g, x in zip(src[blk], ext[blk]):
-            if x < n_loc:
-                assert g == s * n_loc + x
-            else:
-                j, pos = divmod(x - n_loc, H)
-                assert j != s
-                assert g == j * n_loc + send[j * S + s, pos]
+        sr = lsrc[blk][lmask[blk]]
+        assert np.all((sr >= s * n_loc) & (sr < (s + 1) * n_loc))
+
+
+def test_halo_overlap_independence():
+    """THE overlap property, asserted structurally: in the sharded train
+    step there must EXIST local edge-block MH-net matmuls with no
+    (transitive) data dependence on any halo ``all_to_all`` — only then can
+    XLA schedule the collective concurrently with the layer's dominant
+    compute. (Layer 0's four forward MH dots are the witnesses; later
+    layers' inputs legitimately depend on earlier exchanges, and backward
+    local dots on the merged-softmax cotangent.) Conversely some halo-block
+    matmuls MUST depend on it (sanity that the exchange is consumed)."""
+    cfg, graphs, model, params = setup()
+    mesh = make_mesh(dp=4, edge=2)
+    tcfg = TrainerConfig(optim="AdamW", learning_rate=1e-3)
+    tx = make_optimizer(tcfg)
+    criterion = losses.make_loss("L1", False)
+    state = replicate(TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                                 opt_state=tx.init(params)), mesh)
+    pstep, shard = make_parallel_train_step(model, tx, criterion, 0.1, 1.3,
+                                            mesh, donate=False)
+    loader = ParallelLoader(graphs, 4, 4, max_nbr=4, node_bucket=8,
+                            num_comp_slots=8, edge_shards=2)
+    stacked = next(iter(loader))
+    jaxpr = jax.make_jaxpr(pstep)(state, shard(stacked))
+    cap_l = stacked.edge_src.shape[1] // 2    # per-shard local block size
+    cap_h = stacked.halo_src.shape[1] // 2    # per-shard halo block size
+    assert cap_l != cap_h, "ambiguous test shapes; adjust graph sizes"
+
+    # taint-propagate from every all_to_all output through the (possibly
+    # nested) jaxpr; record for each dot_general the leading dims of its
+    # operands and whether it is tainted
+    dots = []   # (frozenset of operand leading dims, tainted)
+
+    def is_tainted(v, tainted):
+        return getattr(v, "count", None) is not None and v in tainted
+
+    def walk(jxp, tainted):
+        for eqn in jxp.eqns:
+            t_in = any(is_tainted(v, tainted) for v in eqn.invars)
+            t_out = t_in
+            if eqn.primitive.name == "dot_general":
+                dims = frozenset(v.aval.shape[0] for v in eqn.invars
+                                 if v.aval.shape)
+                dots.append((dims, t_in))
+            for v in eqn.params.values():
+                if not (hasattr(v, "jaxpr") or hasattr(v, "eqns")):
+                    continue
+                inner = v.jaxpr if hasattr(v, "jaxpr") else v
+                # seed the inner jaxpr's invars with the outer taint of the
+                # corresponding call operands (1:1 for call-like primitives)
+                inner_tainted = set()
+                for iv, ov in zip(inner.invars, eqn.invars):
+                    if is_tainted(ov, tainted):
+                        inner_tainted.add(iv)
+                if walk(inner, inner_tainted):
+                    t_out = True
+            if eqn.primitive.name == "all_to_all":
+                t_out = True
+            if t_out:
+                tainted.update(
+                    v for v in eqn.outvars if getattr(v, "count", None)
+                    is not None)
+        return any(is_tainted(v, tainted) for v in jxp.outvars)
+
+    walk(jaxpr.jaxpr, set())
+    local_clean = sum(1 for dims, t in dots if cap_l in dims and not t)
+    halo_tainted = sum(1 for dims, t in dots if cap_h in dims and t)
+    all_dims = sorted(set(d for dims, _ in dots for d in dims))
+    # layer 0 alone contributes 4 collective-independent local MH dots
+    # (fc_in/fc_out of MH_A and MH_M)
+    assert local_clean >= 4, (
+        f"only {local_clean} local-block dots are independent of the "
+        f"all_to_all — overlap impossible (dot leading dims: {all_dims})")
+    assert halo_tainted >= 1, "halo block never consumes the exchange"
 
 
 def test_halo_comm_is_boundary_proportional():
