@@ -107,11 +107,18 @@ def test_reference_flag_aliases():
     assert tcfg.learning_rate == 2e-4
     assert tcfg.acc_batches == 3
 
-    # defaults stay the reference's effective defaults when nothing passed
+    # defaults stay the reference's effective defaults when nothing passed —
+    # except precision: the PRODUCTION default is bf16 compute + f32 params
+    # (benchmarked config, convergence parity in docs/PERFORMANCE.md;
+    # hardware-certified every round by bench.py verify_production).
+    # Reference-parity f32 runs pass --precision float32 explicitly.
     p2 = argparse.ArgumentParser()
     add_trainer_args(p2)
     add_model_args(p2)
     d = p2.parse_args([])
     assert d.devices == 0 and d.update_edges is True and d.clr is True
     _, m2 = configs_from_args(d)
-    assert m2.compute_dtype == "float32"
+    assert m2.compute_dtype == "bfloat16"
+    d32 = p2.parse_args(["--precision", "float32"])
+    _, m32 = configs_from_args(d32)
+    assert m32.compute_dtype == "float32"
