@@ -358,6 +358,89 @@ def verify_production(tol_model: float = 2e-2, tol_op: float = 5e-2):
     }
 
 
+def serving_latency(n_calls: int = 30):
+    """Per-call latency/throughput of ``load_artifact().predict`` on the
+    real chip (``python bench.py --serving``; VERDICT r3 ask 8).
+
+    Measures the full serving round trip — host collate, device execute of
+    the pre-lowered StableHLO, D2H read of predictions — at batch 1 and
+    batch 64 with real featurizer density (24 neighbors/atom). Under the
+    axon tunnel each call pays one ~30-40 ms dispatch+readback RTT, which
+    floors batch-1 latency; the batch-64 row shows the amortised
+    throughput. A production deployment without the tunnel subtracts that
+    RTT (reference analog: the in-process predict loop,
+    reference CGAT/predict.py:10-40)."""
+    import dataclasses
+    import tempfile
+
+    from cgat_tpu.data.synthetic import random_graphs
+    from cgat_tpu.models import CGATConfig, CGAtNet
+    from cgat_tpu.models.host_init import init_params_host
+    from cgat_tpu.ops import attention as _att
+    from cgat_tpu.serving import export_artifact, load_artifact
+    from cgat_tpu.data import collate
+    from cgat_tpu.training import TrainerConfig
+
+    if jax.default_backend() == "tpu":
+        _att.set_backend("pallas")
+    cfg = CGATConfig()  # production default (bf16 compute)
+    graphs = random_graphs(0, 128, n_atoms_range=(8, 16), max_nbr=24,
+                           full_degree=True)
+    batch = collate(graphs[:64], max_nbr=24, node_bucket=64)
+    tcfg = TrainerConfig(batch_size=64, node_bucket=64,
+                         num_comp_slots=batch.comp_fea.shape[1])
+    model = CGAtNet(cfg)
+    params = init_params_host(model, batch, seed=0)
+
+    out = {}
+    with tempfile.TemporaryDirectory() as td:
+        # synthesize a run dir (params + meta) so export_artifact's
+        # checkpoint-loading path is the one measured
+        import orbax.checkpoint as ocp
+        ckpt = os.path.join(td, "run", "checkpoints")
+        os.makedirs(ckpt)
+        with ocp.PyTreeCheckpointer() as ckptr:
+            ckptr.save(os.path.join(ckpt, "best"),
+                       {"params": params, "step": np.int32(0),
+                        "opt_state": {}}, force=True)
+        meta = {"epoch": 0, "val_mae": 0.0, "best_val": 0.0, "plateau": None,
+                "mean": 0.1, "std": 1.2,
+                "trainer_config": dataclasses.asdict(tcfg),
+                "model_config": dataclasses.asdict(cfg)}
+        with open(os.path.join(ckpt, "best.json"), "w") as f:
+            json.dump(meta, f, default=str)
+
+        platform = jax.default_backend()
+        for C, bucket in ((1, 16), (64, 1024)):
+            import sys
+            t_exp = time.perf_counter()
+            art = os.path.join(td, f"artifact_c{C}")
+            export_artifact(os.path.join(td, "run"), art, batch_size=C,
+                            node_buckets=[bucket], platforms=[platform])
+            print(f"# export C={C}: {time.perf_counter()-t_exp:.0f}s",
+                  file=sys.stderr, flush=True)
+            served = load_artifact(art)
+            chunk = graphs[:C]
+            t_warm = time.perf_counter()
+            for _ in range(3):                      # compile + warm path
+                served.predict(chunk)
+            print(f"# warmup C={C}: {time.perf_counter()-t_warm:.0f}s",
+                  file=sys.stderr, flush=True)
+            times = []
+            for _ in range(n_calls):
+                t0 = time.perf_counter()
+                preds, _ls = served.predict(chunk)  # np readback = real sync
+                times.append(time.perf_counter() - t0)
+            assert preds.shape == (C,) and np.isfinite(preds).all()
+            best, mean = min(times), sum(times) / len(times)
+            out[f"batch{C}"] = {
+                "latency_ms_min": round(best * 1e3, 2),
+                "latency_ms_mean": round(mean * 1e3, 2),
+                "crystals_per_sec": round(C / best, 1),
+            }
+    return {"metric": "serving_latency", "platform": platform, **out}
+
+
 def previous_bench() -> dict | None:
     """Latest BENCH_r*.json in the repo (the driver writes one per round)."""
     import glob
@@ -516,4 +599,9 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+    if "--serving" in sys.argv:
+        _ = float(jnp.sum(jnp.ones((4,))))  # axon: enter sync mode first
+        print(json.dumps(serving_latency()))
+    else:
+        main()

@@ -176,9 +176,16 @@ class ServingModel:
     no flax tracing on the hot path (pre-lowered StableHLO executables)."""
 
     def __init__(self, manifest: dict, params, fns: dict):
+        import jax
+
         self.manifest = manifest
         self.params = params
         self._fns = fns                      # sig key -> deserialized Exported
+        # Exported.call re-traces AND re-compiles the StableHLO module on
+        # every invocation (~8.5 s/call for the flagship, measured round 4);
+        # a jit wrapper makes repeat calls hit the executable cache, leaving
+        # only dispatch + device run + readback on the hot path
+        self._jitted = {k: jax.jit(f.call) for k, f in fns.items()}
         self.signatures = sorted(manifest["signatures"],
                                  key=lambda s: s["num_node_slots"])
         self.mean = manifest["mean"]
@@ -210,8 +217,7 @@ class ServingModel:
                             num_comp_slots=sig["num_comp_slots"],
                             max_nbr=col["max_nbr"],
                             orig_fea=col["orig_fea"])
-            out = self._fns[sig["key"]].call(self.params,
-                                             _batch_dict(batch))
+            out = self._jitted[sig["key"]](self.params, _batch_dict(batch))
             mask = np.asarray(batch.graph_mask)
             preds.append(np.asarray(out["pred"])[mask])
             log_stds.append(np.asarray(out["log_std"])[mask])
