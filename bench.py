@@ -383,7 +383,9 @@ def serving_latency(n_calls: int = 30):
 
     if jax.default_backend() == "tpu":
         _att.set_backend("pallas")
-    cfg = CGATConfig()  # production default (bf16 compute)
+    # production profile: bf16 compute (the cgat-train/cgat-export CLI
+    # default since round 4; CGATConfig itself stays f32 for library parity)
+    cfg = CGATConfig(compute_dtype="bfloat16")
     graphs = random_graphs(0, 128, n_atoms_range=(8, 16), max_nbr=24,
                            full_degree=True)
     batch = collate(graphs[:64], max_nbr=24, node_bucket=64)

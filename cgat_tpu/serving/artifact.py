@@ -179,7 +179,10 @@ class ServingModel:
         import jax
 
         self.manifest = manifest
-        self.params = params
+        # resident on device once: numpy params passed to jit would be
+        # re-transferred on EVERY call (~250 MB/call at flagship size —
+        # measured 5 s/call over the axon tunnel, round 4)
+        self.params = jax.device_put(params)
         self._fns = fns                      # sig key -> deserialized Exported
         # Exported.call re-traces AND re-compiles the StableHLO module on
         # every invocation (~8.5 s/call for the flagship, measured round 4);
@@ -203,6 +206,8 @@ class ServingModel:
     def predict(self, graphs, *, return_embeddings: bool = False):
         """Denormalised predictions in input order (tail batches padded, so
         every crystal gets a prediction). ``graphs``: CrystalGraph list."""
+        import jax
+
         from ..data.batching import collate
         col = self.manifest["collate"]
         C = self.signatures[0]["num_graphs"]
@@ -218,11 +223,16 @@ class ServingModel:
                             max_nbr=col["max_nbr"],
                             orig_fea=col["orig_fea"])
             out = self._jitted[sig["key"]](self.params, _batch_dict(batch))
+            # one batched D2H readback: each separate np.asarray costs a
+            # full dispatch+readback RTT over a remote-device tunnel
+            wanted = (["pred", "log_std"]
+                      + (["embedding"] if return_embeddings else []))
+            host = jax.device_get([out[k] for k in wanted])
             mask = np.asarray(batch.graph_mask)
-            preds.append(np.asarray(out["pred"])[mask])
-            log_stds.append(np.asarray(out["log_std"])[mask])
+            preds.append(host[0][mask])
+            log_stds.append(host[1][mask])
             if return_embeddings:
-                embs.append(np.asarray(out["embedding"])[mask])
+                embs.append(host[2][mask])
         cat = (lambda xs: np.concatenate(xs) if xs
                else np.zeros((0,), np.float32))
         if return_embeddings:
