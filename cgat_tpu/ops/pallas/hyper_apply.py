@@ -23,10 +23,13 @@ MXU (same trick as the segment-attention scatter). HBM traffic per call
 drops from ~55 MB (P round-trip + relayout copies) to ~6 MB (K resident
 in VMEM + the small blocks).
 
-The backward is the standard XLA VJP (recompute P, einsum forms) — its
-copies remain; fusing it is the follow-on step. Gated to bf16 with
-I, O, C multiples of 128 (the flagship is 128/128/128); anything else
-falls back to the XLA path in models/hyper.py.
+The backward is fused too (``FUSED_BWD``): a dh/dx kernel (recomputes the
+predicted chunks from the VMEM-resident K; the cotangent is replicated
+across each o's I lanes by static lane-broadcasts, and dx accumulates
+per-group I-lane slices — no replication matmuls) and an F-chunked dK/db
+kernel with the batch loop inside so each weight chunk is written exactly
+once. Gated to bf16 with I, O, C multiples of 128 (the flagship is
+128/128/128); anything else falls back to the XLA path in models/hyper.py.
 """
 from __future__ import annotations
 
@@ -41,7 +44,11 @@ from jax.experimental.pallas import tpu as pltpu
 # segment_attention.INTERPRET)
 INTERPRET = False
 
-BLOCK_ROWS = 32  # rows per grid step; 2 x (BB, O*I) bf16 + K + S fit VMEM
+BLOCK_ROWS = 128  # rows per grid step: full MXU row occupancy. 32 (the
+# round-3 value, sized when P was processed full-width) left 3/4 of the
+# systolic rows idle in every matmul; with F-chunking the (BB, width)
+# working set fits VMEM at 128 rows (A/B on v5e round 4, together with the
+# one-hot rework below: grad path 130 -> 47 us/call, fwd 47 -> 43)
 
 # use the fused Pallas backward (dh/dx kernel + F-chunked dK kernel)
 # instead of the XLA einsum VJP
@@ -54,15 +61,29 @@ def supported(hidden_dim: int, in_ch: int, out_ch: int, dtype) -> bool:
 
 
 GROUP_O = 32  # predicted-output rows per F-chunk (chunk width = GROUP_O * I)
+GROUP_O_BWD = 16  # dhdx's F-chunk: runs more live (BB, width) temporaries
+# than the forward (gt, p_c, dp_c); 16 leaves VMEM headroom and measured
+# equal to 32 (47.0 vs 47.7 us/call, v5e round 4)
 
 
-def _fwd_kernel(h_ref, x_ref, k_ref, c_ref, out_ref, xt_s,
+def _fwd_kernel(h_ref, x_ref, k_ref, c_ref, out_ref, xt_s, s_s,
                 *, bb, ci, oi, f):
+    j = pl.program_id(0)
     O = oi
     I = (f - O) // O
     W = O * I
     G = GROUP_O
     width = G * I
+
+    @pl.when(j == 0)
+    def _():
+        # chunk-local one-hot S[r, q] = (r // I == q), (width, G) — the
+        # SAME for every chunk (chunk c's outputs are columns c*G..): built
+        # once instead of a (width, O) iota/where per chunk (round-4 A/B:
+        # the per-chunk builds were ~20% of the kernel)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (width, G), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (width, G), 1)
+        s_s[...] = jnp.where(rows // I == cols, 1.0, 0.0).astype(s_s.dtype)
 
     # x tiled G times along lanes: xt[:, g*I + i] = x[:, i] — identical for
     # every F-chunk of this row block, built once per block
@@ -71,7 +92,7 @@ def _fwd_kernel(h_ref, x_ref, k_ref, c_ref, out_ref, xt_s,
         xt_s[:, g * I:(g + 1) * I] = xv
 
     hv = h_ref[...]
-    acc = jnp.zeros((bb, O), jnp.float32)
+    parts = []
     # the (BB, F) predicted tensor is processed in F-chunks so the kernel's
     # scoped VMEM stays small (a full-width P at flagship dims blew the
     # 16 MB budget); K stays resident whole, chunks are static lane slices
@@ -84,15 +105,10 @@ def _fwd_kernel(h_ref, x_ref, k_ref, c_ref, out_ref, xt_s,
         p_c = (p_c + c_ref[:, c * width:(c + 1) * width]
                .astype(jnp.float32)).astype(hv.dtype)          # (BB, width)
         q_c = p_c * xt_s[...]
-        # block-diagonal one-hot for this chunk: S[r, o] = (the o of global
-        # column c*width + r) == o
-        rows = jax.lax.broadcasted_iota(jnp.int32, (width, O), 0)
-        cols = jax.lax.broadcasted_iota(jnp.int32, (width, O), 1)
-        s_c = jnp.where(rows // I + c * G == cols, 1.0, 0.0
-                        ).astype(hv.dtype)
-        acc = acc + jax.lax.dot_general(
-            q_c, s_c, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)                # (BB, O)
+        parts.append(jax.lax.dot_general(
+            q_c, s_s[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32))               # (BB, G)
+    acc = jnp.concatenate(parts, axis=1)                       # (BB, O)
 
     # predicted bias tail: columns [W, W + O)
     p_b = jax.lax.dot_general(
@@ -135,6 +151,7 @@ def _fwd_impl(hidden, kernel, bias, x, out_ch, interpret):
         out_shape=jax.ShapeDtypeStruct((b_tot + pad, oi), hidden.dtype),
         scratch_shapes=[
             pltpu.VMEM((bb, GROUP_O * (w // oi)), hidden.dtype),  # xt chunk
+            pltpu.VMEM((GROUP_O * (w // oi), GROUP_O), hidden.dtype),  # S
         ],
         interpret=interpret,
         name="hyper_apply_fwd",
@@ -142,23 +159,26 @@ def _fwd_impl(hidden, kernel, bias, x, out_ch, interpret):
     return out[:b_tot]
 
 
+def _g_tiled(gv, c, G, I):
+    """Gt[b, g*I + i] = g[b, c*G + g]: each of the chunk's G cotangent
+    columns broadcast across its I lanes. Lane-broadcasts of static 1-lane
+    slices — no iota/where build and no (BB, O) @ (O, width) replication
+    matmul (round-4 rework: those were ~half the dhdx kernel's MXU work)."""
+    bb = gv.shape[0]
+    return jnp.concatenate(
+        [jnp.broadcast_to(gv[:, c * G + q:c * G + q + 1], (bb, I))
+         for q in range(G)], axis=1)                           # (BB, G*I)
+
+
 def _bwd_dhdx_kernel(h_ref, x_ref, g_ref, k_ref, c_ref, dh_ref, dx_ref,
-                     xt_s, s2_s, *, bb, ci, oi, f):
-    """dh = dP @ K^T and dx = (Gt * P_w) @ S2 per row block, F-chunked.
+                     xt_s, *, bb, ci, oi, f):
+    """dh = dP @ K^T and dx = sum_o g_o * P_o per row block, F-chunked.
     dP = [Gt * Xt | g] where Gt replicates g across each o's I lanes."""
-    j = pl.program_id(0)
     O = oi
     I = (f - O) // O
     W = O * I
-    G = GROUP_O
+    G = GROUP_O_BWD
     width = G * I
-
-    @pl.when(j == 0)
-    def _():
-        # S2[r, i] = (r % I == i) — same for every chunk and block
-        rows = jax.lax.broadcasted_iota(jnp.int32, (width, I), 0)
-        cols = jax.lax.broadcasted_iota(jnp.int32, (width, I), 1)
-        s2_s[...] = jnp.where(rows % I == cols, 1.0, 0.0).astype(s2_s.dtype)
 
     xv = x_ref[...]
     for g_i in range(G):
@@ -169,13 +189,7 @@ def _bwd_dhdx_kernel(h_ref, x_ref, g_ref, k_ref, c_ref, dh_ref, dx_ref,
     dh = jnp.zeros((bb, ci), jnp.float32)
     dx = jnp.zeros((bb, I), jnp.float32)
     for c in range(O // G):
-        # Gt[b, r] = g[b, r // I + c * G] via one-hot matmul
-        rows = jax.lax.broadcasted_iota(jnp.int32, (O, width), 0)
-        cols = jax.lax.broadcasted_iota(jnp.int32, (O, width), 1)
-        s1t = jnp.where(cols // I + c * G == rows, 1.0, 0.0).astype(gv.dtype)
-        gt = jax.lax.dot_general(gv, s1t, (((1,), (0,)), ((), ())),
-                                 preferred_element_type=jnp.float32
-                                 ).astype(gv.dtype)            # (BB, width)
+        gt = _g_tiled(gv, c, G, I)                             # (BB, width)
         kc = k_ref[:, c * width:(c + 1) * width]
         p_c = jax.lax.dot_general(hv, kc, (((1,), (0,)), ((), ())),
                                   preferred_element_type=jnp.float32)
@@ -184,9 +198,13 @@ def _bwd_dhdx_kernel(h_ref, x_ref, g_ref, k_ref, c_ref, dh_ref, dx_ref,
         dp_c = gt * xt_s[...]
         dh = dh + jax.lax.dot_general(dp_c, kc, (((1,), (1,)), ((), ())),
                                       preferred_element_type=jnp.float32)
-        dx = dx + jax.lax.dot_general(gt * p_c, s2_s[...],
-                                      (((1,), (0,)), ((), ())),
-                                      preferred_element_type=jnp.float32)
+        # dx += sum over the chunk's G output groups of g_o * P_o — static
+        # I-lane slices accumulated in f32 (replaces the (BB, width) @
+        # (width, I) one-hot contraction; bf16 products, f32 adds, same
+        # rounding as the matmul it replaces)
+        t = gt * p_c
+        for q in range(G):
+            dx = dx + t[:, q * I:(q + 1) * I].astype(jnp.float32)
     # predicted-bias tail: dP[:, W:] = g
     dh = dh + jax.lax.dot_general(gv, k_ref[:, W:], (((1,), (1,)), ((), ())),
                                   preferred_element_type=jnp.float32)
@@ -205,6 +223,14 @@ def _bwd_dk_kernel(ht_ref, x_ref, g_ref, dk_ref, db_ref, xt_s,
     width = G * I
     BR = 128
 
+    # chunk one-hot built ONCE per grid step (j is a traced grid id, so the
+    # static-lane-slice _g_tiled form is unavailable here; the build used to
+    # sit inside the batch loop and ran B/128 times per step)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (O, width), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (O, width), 1)
+    s1t = jnp.where(cols // I + j * G == rows, 1.0, 0.0
+                    ).astype(g_ref.dtype)                      # (O, width)
+
     acc = jnp.zeros((ci, width), jnp.float32)
     dbacc = jnp.zeros((1, width), jnp.float32)
     for bb in range(b_pad // BR):
@@ -212,9 +238,6 @@ def _bwd_dk_kernel(ht_ref, x_ref, g_ref, dk_ref, db_ref, xt_s,
         xv = x_ref[bb * BR:(bb + 1) * BR, :]
         for g_i in range(G):
             xt_s[:, g_i * I:(g_i + 1) * I] = xv
-        rows = jax.lax.broadcasted_iota(jnp.int32, (O, width), 0)
-        cols = jax.lax.broadcasted_iota(jnp.int32, (O, width), 1)
-        s1t = jnp.where(cols // I + j * G == rows, 1.0, 0.0).astype(gv.dtype)
         gt = jax.lax.dot_general(gv, s1t, (((1,), (0,)), ((), ())),
                                  preferred_element_type=jnp.float32
                                  ).astype(gv.dtype)
@@ -234,7 +257,8 @@ def _fused_bwd(hidden, kernel, bias, x, g, out_ch, interpret):
     oi = out_ch
     ii = x.shape[1]
     w = oi * ii
-    width = GROUP_O * ii
+    width = GROUP_O * ii          # dK kernel's F-chunk
+    width_b = GROUP_O_BWD * ii    # dhdx kernel's F-chunk
     bb = BLOCK_ROWS
     pad = (-b_tot) % 128  # dK kernel iterates 128-row batches
     if pad:
@@ -266,8 +290,7 @@ def _fused_bwd(hidden, kernel, bias, x, g, out_ch, interpret):
         out_shape=[jax.ShapeDtypeStruct((b_pad, ci), hidden.dtype),
                    jax.ShapeDtypeStruct((b_pad, ii), x.dtype)],
         scratch_shapes=[
-            pltpu.VMEM((bb, width), hidden.dtype),      # xt chunk
-            pltpu.VMEM((width, ii), hidden.dtype),      # S2
+            pltpu.VMEM((bb, width_b), hidden.dtype),    # xt chunk
         ],
         interpret=interpret,
         name="hyper_apply_bwd_dhdx",

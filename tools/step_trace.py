@@ -1,17 +1,15 @@
 """Where does the train step's device time go? (run on the real chip)
 
 Traces N headline train steps (bench.build config) under jax.profiler and
-aggregates the TPU device lane's leaf events into HLO categories — the
-measurement behind docs/PERFORMANCE.md's "Round 3b/4: where the whole step
-goes" tables and the target list for the non-matmul-tail work (VERDICT r3
-ask 4). Usage:
+aggregates the TPU "XLA Ops" lane (leaf HLO events) by the profiler's own
+``hlo_category``, with per-category bytes/FLOPs from the event args — the
+measurement behind docs/PERFORMANCE.md's "where the whole step goes" tables
+and the target list for the non-matmul-tail work (VERDICT r3 ask 4). Usage:
 
-    python tools/step_trace.py [--iters 10] [--dump-top 40] [--keep DIR]
+    python tools/step_trace.py [--iters 10] [--dump-top 30] [--keep DIR]
 
-Prints one JSON object: per-category ms/step plus the top individual events.
-Categories are assigned from the event name (XLA names device events after
-the HLO instruction: ``fusion.N`` with a kind-revealing prefix on TPU, plus
-``copy``/``convolution``/``dynamic-update-slice``/custom-call names).
+Prints one JSON object: per-category ms/step (+GB/step, GFLOP/step) and the
+top individual leaf events with their HLO long names.
 """
 from __future__ import annotations
 
@@ -27,63 +25,46 @@ import tempfile
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def device_leaf_events(trace_dir: str):
-    """All complete ('X') events on TPU device-lane pids, as
-    (name, total_us, count)."""
+def leaf_ops(trace_dir: str):
+    """Leaf HLO events from the TPU 'XLA Ops' lane:
+    (name, category, total_us, count, total_bytes, total_flops, long_name)."""
     files = sorted(glob.glob(
         os.path.join(trace_dir, "plugins/profile/*/*.trace.json.gz")))
     with gzip.open(files[-1]) as f:
         tr = json.load(f)
-    dev_pids = set()
+    tpu_pids, op_lanes = set(), set()
     for e in tr["traceEvents"]:
-        if e.get("ph") == "M" and e.get("name") == "process_name" \
-                and "TPU" in str(e.get("args", {}).get("name", "")):
-            dev_pids.add(e["pid"])
-    tot = collections.Counter()
-    cnt = collections.Counter()
+        if e.get("ph") != "M":
+            continue
+        if e.get("name") == "process_name" \
+                and "TPU" in str(e["args"].get("name", "")):
+            tpu_pids.add(e["pid"])
+        if e.get("name") == "thread_name" \
+                and e["args"].get("name") == "XLA Ops":
+            op_lanes.add((e["pid"], e.get("tid")))
+    agg = {}
     for e in tr["traceEvents"]:
-        if e.get("ph") == "X" and e.get("pid") in dev_pids:
-            tot[e["name"]] += e.get("dur", 0)
-            cnt[e["name"]] += 1
-    return [(n, tot[n], cnt[n]) for n in tot]
-
-
-def categorize(name: str) -> str:
-    n = name.lower()
-    if "seg_attn" in n or "hyper_" in n and "fusion" not in n:
-        return "pallas-kernel"
-    if n.startswith("custom-call") or "tpu_custom_call" in n:
-        return "custom-call"
-    if "convolution" in n or n.startswith("dot") or "matmul" in n:
-        return "convolution/dot"
-    if n.startswith("copy") or "copy-start" in n or "copy-done" in n:
-        return "copy"
-    if "all-to-all" in n or "all-reduce" in n or "all-gather" in n \
-            or "collective" in n or "reduce-scatter" in n:
-        return "collective"
-    if n.startswith("loop_") or "loop-fusion" in n:
-        return "loop-fusion"
-    if n.startswith(("bitcast", "pad", "reshape", "transpose", "slice",
-                     "concatenate")):
-        return "data-formatting"
-    if n.startswith(("dynamic-update-slice", "dynamic-slice", "scatter",
-                     "gather")):
-        return "gather/scatter"
-    if n.startswith(("reduce", "sort", "select-and-scatter")):
-        return "reduce/sort"
-    if "fusion" in n:
-        return "fusion-other"
-    if n.startswith(("infeed", "outfeed", "send", "recv")):
-        return "host-io"
-    return "other"
+        if e.get("ph") != "X" or e.get("pid") not in tpu_pids:
+            continue
+        if (e["pid"], e.get("tid")) not in op_lanes:
+            continue
+        a = e.get("args", {})
+        name = e["name"]
+        rec = agg.setdefault(name, [a.get("hlo_category", "?"), 0.0, 0, 0, 0,
+                                    a.get("long_name", "")[:300]])
+        rec[1] += e.get("dur", 0)
+        rec[2] += 1
+        rec[3] += int(a.get("bytes_accessed", 0))
+        rec[4] += int(a.get("model_flops", 0) or 0)
+    return [(n, c, us, cnt, b, fl, ln)
+            for n, (c, us, cnt, b, fl, ln) in agg.items()]
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=10)
-    ap.add_argument("--dump-top", type=int, default=40)
-    ap.add_argument("--keep", default=None,
-                    help="keep the raw trace under this directory")
+    ap.add_argument("--dump-top", type=int, default=30)
+    ap.add_argument("--keep", default=None)
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--k", type=int, default=1,
@@ -107,23 +88,34 @@ def main():
     _ = float(m["loss"])
     jax.profiler.stop_trace()
 
-    events = device_leaf_events(td)
+    events = leaf_ops(td)
     steps = args.iters * args.k
-    cats = collections.Counter()
-    for name, tot_us, _c in events:
-        cats[categorize(name)] += tot_us / steps / 1e3   # ms/step
-    top = sorted(events, key=lambda t: -t[1])[:args.dump_top]
+    cat_us = collections.Counter()
+    cat_b = collections.Counter()
+    cat_fl = collections.Counter()
+    for _n, cat, us, _c, b, fl, _ln in events:
+        cat_us[cat] += us / steps
+        cat_b[cat] += b / steps
+        cat_fl[cat] += fl / steps
+    top = sorted(events, key=lambda t: -t[2])[:args.dump_top]
     out = {
         "metric": "step_trace_ms_per_step",
         "config": {"batch": args.batch, "dtype": args.dtype,
                    "iters": args.iters, "k": args.k},
-        "leaf_ms_per_step": round(sum(cats.values()), 3),
-        "categories": {k: round(v, 3)
-                       for k, v in sorted(cats.items(), key=lambda kv: -kv[1])},
+        "leaf_ms_per_step": round(sum(cat_us.values()) / 1e3, 3),
+        "categories": {
+            k: {"ms": round(v / 1e3, 3),
+                "gb": round(cat_b[k] / 1e9, 3),
+                "gflop": round(cat_fl[k] / 1e9, 1)}
+            for k, v in sorted(cat_us.items(), key=lambda kv: -kv[1])},
         "top_events": [
-            {"name": n, "ms_per_step": round(t / steps / 1e3, 4),
-             "calls_per_step": round(c / steps, 1),
-             "category": categorize(n)} for n, t, c in top],
+            {"name": n, "category": c,
+             "ms_per_step": round(us / steps / 1e3, 4),
+             "calls_per_step": round(cnt / steps, 1),
+             "mb_per_step": round(b / steps / 1e6, 2),
+             "gflop_per_step": round(fl / steps / 1e9, 2),
+             "long_name": ln}
+            for n, c, us, cnt, b, fl, ln in top],
         "trace_dir": td if args.keep else None,
     }
     print(json.dumps(out, indent=1))
