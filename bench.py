@@ -347,14 +347,39 @@ def verify_production(tol_model: float = 2e-2, tol_op: float = 5e-2):
               for b in vgs[1][1])
     hyper_errs.append(float(np.sqrt(num / (den + 1e-30))))
 
+    # gather backward (csr_segment_sum kernel) vs plain-indexing autodiff at
+    # both in-model call sites (dst-sorted edges, src via permutation) — the
+    # f32-accumulating kernel vs XLA's bf16 scatter-add differs only by
+    # scatter rounding noise, far below a Mosaic miscompile
+    from cgat_tpu.ops.gather import gather_rows
+    gather_errs = []
+    perm = batch.edge_src_perm
+    for idx, kw in ((batch.edge_dst, dict(ids_sorted=True)),
+                    (batch.edge_src, dict(perm=perm))):
+        table = jnp.asarray(rng.standard_normal(
+            (batch.nodes.shape[0], cfg.elem_fea_len)), jnp.bfloat16)
+        cot = jnp.asarray(rng.standard_normal(
+            (idx.shape[0], cfg.elem_fea_len)), jnp.bfloat16)
+        mk2 = lambda fn: jax.jit(jax.grad(
+            lambda t: jnp.sum((fn(t) * cot).astype(jnp.float32))))
+        g_p = mk2(lambda t: gather_rows(t, idx, **kw))(table)
+        g_x = mk2(lambda t: t[idx])(table)
+        num = float(np.linalg.norm(np.asarray(g_p, np.float32)
+                                   - np.asarray(g_x, np.float32)))
+        den = float(np.linalg.norm(np.asarray(g_x, np.float32))) + 1e-30
+        gather_errs.append(num / den)
+
     op_max = float(np.max(op_errs))
     hyper_max = float(np.max(hyper_errs))
+    gather_max = float(np.max(gather_errs))
     return {
         "verify_bf16_ok": bool(model_err < tol_model and op_max < tol_op),
         "verify_bf16_model_rel_err": round(float(model_err), 6),
         "verify_bf16_op_rel_err": round(op_max, 6),
         "verify_hyper_ok": bool(hyper_max < tol_op),
         "verify_hyper_rel_err": round(hyper_max, 6),
+        "verify_gather_ok": bool(gather_max < tol_op),
+        "verify_gather_rel_err": round(gather_max, 6),
     }
 
 

@@ -77,6 +77,10 @@ class CrystalBatch:
     # features each shard needs — comm per layer is O(S*H*F), proportional
     # to the partition boundary, not O(N*F) like a full all_gather.
     halo_send_idx: jnp.ndarray | None = None  # i32 (S*S, H)
+    # Stable argsort of ``edge_src`` (single-shard collate only; None under
+    # edge sharding). Lets the backward of the per-edge source gather run as
+    # a sorted CSR segment sum instead of an XLA scatter (ops/gather.py).
+    edge_src_perm: jnp.ndarray | None = None  # i32 (E,)
 
     @property
     def num_node_slots(self) -> int:
@@ -398,6 +402,8 @@ def collate(graphs: Sequence[CrystalGraph],
         edge_dst=jnp.asarray(edge_dst),
         edge_shell=jnp.asarray(edge_shell),
         edge_mask=jnp.asarray(edge_mask),
+        edge_src_perm=(None if halo else jnp.asarray(
+            np.argsort(edge_src, kind="stable").astype(np.int32))),
         comp_fea=jnp.asarray(comp_fea),
         comp_weight=jnp.asarray(comp_weight),
         comp_mask=jnp.asarray(comp_mask),

@@ -139,7 +139,7 @@ class MultiHeadNetwork(nn.Module):
     dtype: jnp.dtype | None = None
 
     @nn.compact
-    def __call__(self, x=None, *, split_parts=None):
+    def __call__(self, x=None, *, split_parts=None, flat=False):
         """Either the plain path (``x`` of shape ``(B, ..., input_dim)``) or
         the split-projection path: ``split_parts`` is a list of
         ``(features, gather_idx_or_None)`` whose feature widths consume
@@ -148,7 +148,15 @@ class MultiHeadNetwork(nn.Module):
         projections are gathered per row — mathematically identical to
         projecting the gathered concat (the first layer is linear), but a
         node's features are projected once instead of once per incident
-        edge. Same parameters either way."""
+        edge. Same parameters either way.
+
+        ``flat=True`` requests the FUSED Pallas path: one kernel runs
+        fc_in -> LeakyReLU -> grouped fc_out over row blocks entirely in
+        2D layouts and returns ``(B, heads*output_dim)`` head-major — the
+        layout the fused attention kernels consume, so the (B, H, hid)/
+        (B, H, F) relayouts disappear (ops/pallas/mh_network.py). Same
+        parameters; falls back to the einsum path (3D output) when the
+        dims/dtype aren't kernel-eligible — check the returned rank."""
         w_in = self.param("fc_in_kernel", _mh_kernel_init,
                           (self.nb_heads, self.hidden_layer_dim, self.input_dim))
         b_in = self.param("fc_in_bias", torch_linear_bias_init(self.input_dim),
@@ -158,6 +166,27 @@ class MultiHeadNetwork(nn.Module):
         b_out = self.param("fc_out_bias",
                            torch_linear_bias_init(self.hidden_layer_dim),
                            (self.nb_heads, self.output_dim))
+        if flat and split_parts is None:
+            from ..ops.pallas.mh_network import (
+                _block_rows, mh_network, supported)
+            dt = self.dtype or jnp.float32
+            x2 = jnp.asarray(x.reshape(-1, self.input_dim), dt)
+            if (supported(self.input_dim, self.hidden_layer_dim,
+                          self.output_dim, self.nb_heads, dt)
+                    and _block_rows(x2.shape[0]) is not None):
+                # weight re-layouts are parameter-sized (KBs) — negligible
+                # next to the (B, ...) activation relayouts they remove
+                win = jnp.asarray(w_in, dt).transpose(2, 0, 1).reshape(
+                    self.input_dim, -1)
+                wout = jnp.asarray(w_out, dt).transpose(0, 2, 1).reshape(
+                    -1, self.output_dim)
+                return mh_network(
+                    x2, win, jnp.asarray(b_in, dt).reshape(-1),
+                    wout, jnp.asarray(b_out, dt).reshape(-1),
+                    heads=self.nb_heads, hid=self.hidden_layer_dim,
+                    f=self.output_dim)
+            # not eligible: einsum path below returns (B, H, F) — callers
+            # of flat=True branch on the returned rank
         wi = jnp.asarray(w_in, self.dtype)
         if split_parts is None:
             x = jnp.asarray(x.reshape(-1, self.input_dim), self.dtype)

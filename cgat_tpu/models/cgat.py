@@ -33,6 +33,7 @@ from flax import linen as nn
 
 from ..data.batching import CrystalBatch
 from ..ops.attention import edge_softmax_aggregate, edge_softmax_aggregate_pair
+from ..ops.gather import gather_rows
 from ..ops.segment import segment_softmax, segment_softmax_pair, segment_sum
 from .blocks import MultiHeadNetwork, ResidualNetwork, TorchLinear
 from .hyper import HNet, HNet0
@@ -105,7 +106,7 @@ class GATConvNodes(nn.Module):
 
     @nn.compact
     def __call__(self, x, edge_src, edge_dst, edge_attr, x_0, edge_mask,
-                 *, deterministic=True, halo=None):
+                 *, deterministic=True, halo=None, src_perm=None):
         """Edge-sharded mode (``halo`` is not None — inside a ``shard_map``
         over an edge axis, or a single-device view of the same layout):
         ``x``/``x_0`` are the LOCAL node slice, the primary edge args the
@@ -130,8 +131,53 @@ class GATConvNodes(nn.Module):
             alpha = mh_a(split_parts=parts)
             m = mh_m(split_parts=parts)
         else:
-            m_cat = jnp.concatenate([x[edge_dst], edge_attr,
-                                     x[edge_src]], axis=-1)
+            # gather_rows = plain x[idx] forward; its BACKWARD runs as a
+            # sorted CSR segment sum on the MXU instead of an XLA
+            # scatter-add (~65 us -> ~15 us per scatter, ops/gather.py);
+            # dst is sorted by the batch invariant, src via the collate's
+            # stable argsort permutation
+            m_cat = jnp.concatenate(
+                [gather_rows(x, edge_dst, ids_sorted=halo is None),
+                 edge_attr,
+                 gather_rows(x, edge_src,
+                             perm=src_perm if halo is None else None)],
+                axis=-1)
+            # fused 2D fast path: MH nets and the segment softmax-aggregate
+            # exchange (E, H*F) head-major FLAT tensors (no (E, H, hid) /
+            # (E, H, F) relayouts in either direction), and the head mean
+            # is static lane-slice adds on the small node-sized result
+            from ..ops import attention as _att
+            from ..ops.pallas.mh_network import _block_rows
+            from ..ops.pallas.mh_network import supported as _mh_ok
+            from ..ops.pallas.segment_attention import (
+                edge_softmax_aggregate_flat)
+            cdt = self.dtype or jnp.float32
+            hd = int(cat_dim / 1.5)
+            use_flat = (halo is None
+                        and not (self.dropout > 0.0 and not deterministic)
+                        and not self.final
+                        and _att.get_backend() == "pallas"
+                        and self.vector_attention
+                        and _mh_ok(cat_dim, hd, self.out_channels,
+                                   self.heads, cdt)
+                        and _block_rows(m_cat.shape[0]) is not None)
+            if use_flat:
+                alpha2 = mh_a(m_cat, flat=True)
+                m2 = mh_m(m_cat, flat=True)
+                aggr2 = edge_softmax_aggregate_flat(
+                    alpha2, m2, dst_l, num_nodes,
+                    edge_mask=edge_mask)                  # (N, H*F)
+                c_ = self.out_channels
+                aggr = sum(aggr2[:, k * c_:(k + 1) * c_].astype(jnp.float32)
+                           for k in range(self.heads)) / self.heads
+                aggr = aggr.astype(aggr2.dtype)
+                if self.first:
+                    return HNet0(c_, 3, c_, c_, 2, c_, c_, dtype=self.dtype,
+                                 remat=self.hyper_remat,
+                                 name="Pooling_NN")(x, aggr)
+                return HNet(c_, 3, c_, c_, 2, c_, c_, dtype=self.dtype,
+                            remat=self.hyper_remat,
+                            name="Pooling_NN")(x_0, x, aggr)
             alpha = mh_a(m_cat)
             m = mh_m(m_cat)
         if halo is not None:
@@ -256,7 +302,8 @@ class MHAttention(nn.Module):
         m = MultiHeadNetwork(self.in_channels, self.out_channels,
                              self.in_channels, self.heads, dtype=self.dtype,
                              name="MH_M")(fea)
-        cat = jnp.concatenate([fea, cry_fea[node2graph]], axis=-1)
+        cat = jnp.concatenate(
+            [fea, gather_rows(cry_fea, node2graph, ids_sorted=True)], axis=-1)
         alpha = MultiHeadNetwork(
             2 * self.in_channels,
             self.out_channels if self.vector_attention else 1,
@@ -386,7 +433,7 @@ class CGAtNet(nn.Module):
             node_update = node_layer(i)(
                 elem_fea, src_idx, dst_idx, edge_attr,
                 elem_fea_0, batch.edge_mask, deterministic=deterministic,
-                halo=halo_n)
+                halo=halo_n, src_perm=batch.edge_src_perm)
             if cfg.update_edges:
                 el = edge_layer(i)
                 edge_attr = edge_attr + el(

@@ -1,0 +1,71 @@
+"""Node-table gather whose BACKWARD is TPU-native.
+
+``x[edge_index]`` gathers are free on TPU, but their autodiff transpose is
+a scatter-add that XLA lowers to a serialized update loop — measured ~65 us
+per (8448, 128) -> (768, 128) scatter on v5e, ~8x off the HBM bound, twice
+per message-passing layer (round-4 step trace; reference analog: the
+torch_scatter backward of PyG's propagate, CGAT/CGAT.py:319-326).
+
+The batch layout already guarantees ``edge_dst`` is sorted, and collate
+ships ``edge_src_perm`` (the stable argsort of ``edge_src``), so both
+scatters can instead run as CSR one-hot membership matmuls on the MXU
+(ops/pallas/segment_sum.py):
+
+    d_table = csr_segment_sum(g[perm], ids[perm])   # perm = identity for dst
+
+Semantics are identical to the XLA scatter-add, padding included: padded
+edges point at the last node slot and their (zero) cotangents sum there in
+both formulations. Engaged when the global op backend is "pallas" and the
+feature width is a lane multiple; otherwise plain ``table[idx]`` autodiff.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=())
+def _gather_csr(table, idx, sidx, inv):
+    """table[idx] with a CSR segment-sum backward.
+
+    sidx: ``idx`` pre-sorted ascending; inv: permutation with
+    ``idx[inv] == sidx`` (identity when ``idx`` is already sorted)."""
+    return table[idx]
+
+
+def _gather_fwd(table, idx, sidx, inv):
+    return table[idx], (idx, sidx, inv, table.shape[0])
+
+
+def _gather_bwd(res, g):
+    from .pallas.segment_sum import csr_segment_sum
+    idx, sidx, inv, n = res
+    gs = g if inv is None else jnp.take(g, inv, axis=0)
+    dt = csr_segment_sum(gs, sidx, n, out_dtype=g.dtype)
+    return dt, None, None, None
+
+
+_gather_csr.defvjp(_gather_fwd, _gather_bwd)
+
+
+def gather_rows(table, idx, *, perm=None, ids_sorted=False):
+    """``table[idx]`` with the fast backward when the layout allows it.
+
+    ``ids_sorted``: ``idx`` is non-decreasing (the dst layout invariant).
+    ``perm``: stable argsort of ``idx`` (the collate-provided
+    ``edge_src_perm``). With neither, plain autodiff applies."""
+    from . import attention as _att
+    f = table.shape[-1]
+    eligible = (_att.get_backend() == "pallas" and table.ndim == 2
+                and f % 128 == 0 and (ids_sorted or perm is not None))
+    if not eligible:
+        return table[idx]
+    if ids_sorted:
+        inv = None          # backward consumes g as-is
+        sidx = idx
+    else:
+        inv = perm.astype(jnp.int32)
+        sidx = jnp.take(idx, inv)
+    return _gather_csr(table, idx, sidx, inv)

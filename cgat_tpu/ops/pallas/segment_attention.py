@@ -543,6 +543,37 @@ def edge_softmax_aggregate_pair(alpha_l, m_l, dst_l, mask_l,
     return out.reshape(num_nodes, h, f).astype(alpha_l.dtype)
 
 
+def edge_softmax_aggregate_flat(alpha2, m2, edge_dst, num_nodes, *,
+                                edge_mask=None,
+                                block_nodes: int = BLOCK_NODES,
+                                block_edges: int = BLOCK_EDGES,
+                                interpret: bool | None = None):
+    """2D entry: ``alpha2``/``m2`` are (E, H*F) head-major flat (the fused
+    MH-network kernel's output layout) and the result stays (N, H*F) flat —
+    no 3D round trip on either side. Same math as
+    :func:`edge_softmax_aggregate` (columns are independent)."""
+    if interpret is None:
+        interpret = INTERPRET or jax.default_backend() != "tpu"
+    e_tot, hf = alpha2.shape
+    assert hf % 128 == 0, "flat entry requires lane-multiple H*F"
+    be = min(block_edges, e_tot)
+    n_real = (jnp.sum(edge_mask.astype(jnp.int32)) if edge_mask is not None
+              else jnp.asarray(e_tot, jnp.int32))
+    keep = alpha2.dtype if alpha2.dtype == jnp.bfloat16 else jnp.float32
+    alpha2 = alpha2.astype(keep)
+    m2 = m2.astype(keep)
+    dst2 = edge_dst.astype(jnp.int32).reshape(e_tot, 1)
+    if e_tot % be:
+        extra = be - e_tot % be
+        alpha2 = jnp.pad(alpha2, ((0, extra), (0, 0)))
+        m2 = jnp.pad(m2, ((0, extra), (0, 0)))
+        dst2 = jnp.pad(dst2, ((0, extra), (0, 0)),
+                       constant_values=num_nodes - 1)
+    out = _edge_softmax_aggregate(alpha2, m2, dst2, n_real, num_nodes,
+                                  block_nodes, be, interpret)
+    return out.astype(keep)
+
+
 def edge_softmax_aggregate(alpha, m, edge_dst, num_nodes, *, edge_mask=None,
                            block_nodes: int = BLOCK_NODES,
                            block_edges: int = BLOCK_EDGES,

@@ -1,0 +1,148 @@
+"""Fused Pallas TPU kernel: plain segment sum over dst-sorted rows.
+
+TPU-native replacement for the XLA scatter-add that autodiff emits for the
+backward of a node-feature gather (``x[edge_index]``, reference
+CGAT/CGAT.py:319-326 via PyG's message passing). XLA lowers that
+scatter-add to a serialized per-row update loop — measured ~65 us per
+(8448, 128) -> (768, 128) scatter on v5e (round-4 step trace), ~8x off the
+HBM bound — even though the batch layout guarantees the ids are sorted.
+
+Same CSR one-hot membership trick as ``segment_attention``: edges sorted by
+id mean row ``e`` belongs to segment ``n`` iff ``off[n] <= e < off[n+1]``;
+a (BE, BN) one-hot contraction on the MXU scatters a whole chunk at once:
+
+    out[block n] = sum_chunks  sel(chunk, block)^T @ vals(chunk)
+
+No softmax, no running max — just the membership matmul. Rows whose global
+id is below ``n_real`` only (False-suffix padding) are excluded by clamping
+the CSR pointers, exactly like the attention kernel.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .segment_attention import _node_offsets
+
+BLOCK_NODES = 128
+BLOCK_ROWS = 768
+
+# module-level interpret default (tests set True off-TPU)
+INTERPRET = False
+
+
+def _kernel(off_ref, val_hbm, lo_ref, hi_ref, out_ref, v_s, sems,
+            *, bn, be, f, e_hbm):
+    i = pl.program_id(0)
+    start = off_ref[i]
+    end = off_ref[i + 1]
+    start_al = pl.multiple_of((start // 16) * 16, 16)
+    nchunks = (end - start_al + be - 1) // be
+
+    acc0 = jnp.zeros((bn, f), jnp.float32)
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (be, 1), 0)
+    lo = lo_ref[pl.ds(i, 1), :]                               # (1, BN)
+    hi = hi_ref[pl.ds(i, 1), :]
+
+    def chunk_base(c):
+        logical = start_al + c * be
+        return pl.multiple_of(jnp.minimum(logical, e_hbm - be), 8)
+
+    def chunk_dma(slot, c):
+        return pltpu.make_async_copy(
+            val_hbm.at[pl.ds(chunk_base(c), be), :], v_s.at[slot],
+            sems.at[slot])
+
+    @pl.when(nchunks > 0)
+    def _():
+        chunk_dma(0, 0).start()
+
+    def body(c, acc):
+        slot = jax.lax.rem(c, 2)
+
+        @pl.when(c + 1 < nchunks)
+        def _():
+            chunk_dma(1 - slot, c + 1).start()
+
+        chunk_dma(slot, c).wait()
+        base = chunk_base(c)
+        gid = base + row_ids                                  # (BE, 1)
+        valid = (gid >= start_al + c * be) & (gid < end)
+        sel = jnp.where((gid >= lo) & (gid < hi) & valid, 1.0, 0.0)
+        v = v_s[slot]
+        if v.dtype == jnp.bfloat16:
+            part = jax.lax.dot_general(
+                sel.astype(jnp.bfloat16), v, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)            # (BN, F)
+        else:
+            part = jax.lax.dot_general(
+                sel, v.astype(jnp.float32), (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
+        return acc + part
+
+    acc = jax.lax.fori_loop(0, nchunks, body, acc0)
+    out_ref[...] = acc.astype(out_ref.dtype)
+
+
+def csr_segment_sum(vals, ids, num_segments: int, *, n_real=None,
+                    out_dtype=None,
+                    block_nodes: int = BLOCK_NODES,
+                    block_rows: int = BLOCK_ROWS,
+                    interpret: bool | None = None):
+    """``out[n] = sum_{e: ids[e] == n} vals[e]`` for SORTED ``ids``.
+
+    vals: (E, F) with F a multiple of 128 (caller falls back to XLA
+    otherwise); ids: (E,) int32 non-decreasing. ``n_real``: count of real
+    rows when padding is a False-suffix (rows >= n_real are excluded);
+    None sums every row. Accumulation is f32; output in ``out_dtype``
+    (default ``vals.dtype``)."""
+    if interpret is None:
+        interpret = INTERPRET or jax.default_backend() != "tpu"
+    e_tot, f = vals.shape
+    bn = block_nodes
+    be = min(block_rows, -(-e_tot // 16) * 16)
+    if e_tot % be:
+        extra = be - e_tot % be
+        vals = jnp.pad(vals, ((0, extra), (0, 0)))
+        ids = jnp.pad(ids, ((0, extra),), constant_values=num_segments - 1)
+        if n_real is None:
+            n_real = e_tot
+        e_tot += extra
+    nblocks = -(-num_segments // bn)
+    n_pad = nblocks * bn
+    nr = (jnp.asarray(e_tot, jnp.int32) if n_real is None
+          else jnp.asarray(n_real, jnp.int32))
+    offn = _node_offsets(ids.astype(jnp.int32), nr, n_pad)
+    offsets = offn[:n_pad + 1:bn]
+    lo = offn[:n_pad].reshape(nblocks, bn)
+    hi = offn[1:n_pad + 1].reshape(nblocks, bn)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nblocks,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),          # vals
+            pl.BlockSpec(memory_space=pltpu.VMEM),      # lo
+            pl.BlockSpec(memory_space=pltpu.VMEM),      # hi
+        ],
+        out_specs=pl.BlockSpec((bn, f), lambda i, off: (i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, be, f), vals.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(_kernel, bn=bn, be=be, f=f, e_hbm=e_tot),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_pad, f),
+                                       out_dtype or vals.dtype),
+        interpret=interpret,
+        name="csr_segment_sum",
+    )(offsets, vals, lo, hi)
+    return out[:num_segments]

@@ -60,10 +60,13 @@ def _sig_key(num_graphs, num_node_slots):
 
 def _batch_dict(batch):
     """CrystalBatch -> plain dict of arrays (None fields dropped) for the
-    jax.export boundary."""
+    jax.export boundary. ``edge_src_perm`` is a training-only layout aid
+    (fast gather backward) — excluded so the serving signature is stable
+    whether or not the collate computed it."""
     d = {f.name: getattr(batch, f.name)
          for f in dataclasses.fields(batch)}
-    return {k: v for k, v in d.items() if v is not None}
+    return {k: v for k, v in d.items()
+            if v is not None and k != "edge_src_perm"}
 
 
 def _template_batch(C, N, E, R, orig_fea, dtype=np.float32):
