@@ -106,7 +106,8 @@ class GATConvNodes(nn.Module):
 
     @nn.compact
     def __call__(self, x, edge_src, edge_dst, edge_attr, x_0, edge_mask,
-                 *, deterministic=True, halo=None, src_perm=None):
+                 *, deterministic=True, halo=None, src_perm=None,
+                 gather_plans=None):
         """Edge-sharded mode (``halo`` is not None — inside a ``shard_map``
         over an edge axis, or a single-device view of the same layout):
         ``x``/``x_0`` are the LOCAL node slice, the primary edge args the
@@ -135,12 +136,17 @@ class GATConvNodes(nn.Module):
             # sorted CSR segment sum on the MXU instead of an XLA
             # scatter-add (~65 us -> ~15 us per scatter, ops/gather.py);
             # dst is sorted by the batch invariant, src via the collate's
-            # stable argsort permutation
+            # stable argsort permutation. ``gather_plans`` shares the CSR
+            # searchsorted across the model's layers (CGAtNet builds them
+            # once per step)
+            dst_plan, src_plan = gather_plans or (None, None)
             m_cat = jnp.concatenate(
-                [gather_rows(x, edge_dst, ids_sorted=halo is None),
+                [gather_rows(x, edge_dst, ids_sorted=halo is None,
+                             plan=dst_plan),
                  edge_attr,
                  gather_rows(x, edge_src,
-                             perm=src_perm if halo is None else None)],
+                             perm=src_perm if halo is None else None,
+                             plan=src_plan)],
                 axis=-1)
             # fused 2D fast path: MH nets and the segment softmax-aggregate
             # exchange (E, H*F) head-major FLAT tensors (no (E, H, hid) /
@@ -388,6 +394,20 @@ class CGAtNet(nn.Module):
             pair_backend = None
             src_table = lambda x: None
 
+        # one CSR plan pair for all layers' gather backwards (the
+        # searchsorted is a device while-loop XLA does not CSE; 5 layers x
+        # 2 gathers re-ran it 10x — round-4 trace)
+        gather_plans = None
+        if not halo_mode and batch.edge_src_perm is not None:
+            from ..ops import attention as _att_backend
+            if _att_backend.get_backend() == "pallas":
+                from ..ops.gather import GatherPlan
+                n_slots = batch.nodes.shape[0]
+                gather_plans = (
+                    GatherPlan.build(batch.edge_dst, n_slots),
+                    GatherPlan.build(batch.edge_src, n_slots,
+                                     perm=batch.edge_src_perm))
+
         nbr_embed = nn.Embed(cfg.neighbor_number + 1, cfg.nbr_embedding_size,
                              embedding_init=nn.initializers.normal(1.0),
                              name="nbr_embedding")
@@ -433,7 +453,8 @@ class CGAtNet(nn.Module):
             node_update = node_layer(i)(
                 elem_fea, src_idx, dst_idx, edge_attr,
                 elem_fea_0, batch.edge_mask, deterministic=deterministic,
-                halo=halo_n, src_perm=batch.edge_src_perm)
+                halo=halo_n, src_perm=batch.edge_src_perm,
+                gather_plans=gather_plans)
             if cfg.update_edges:
                 el = edge_layer(i)
                 edge_attr = edge_attr + el(

@@ -17,55 +17,96 @@ Semantics are identical to the XLA scatter-add, padding included: padded
 edges point at the last node slot and their (zero) cotangents sum there in
 both formulations. Engaged when the global op backend is "pallas" and the
 feature width is a lane multiple; otherwise plain ``table[idx]`` autodiff.
+
+:class:`GatherPlan` precomputes the CSR row pointers (a device
+searchsorted) and the permuted ids ONCE per step — the flagship gathers
+through the same two index arrays in all five layers, and XLA does not CSE
+the searchsorted while-loops (measured ~0.5 ms/step of redundant offset
+recomputation, round-4 trace).
 """
 from __future__ import annotations
 
+import dataclasses
 import functools
 
 import jax
 import jax.numpy as jnp
 
 
+@dataclasses.dataclass(frozen=True)
+class GatherPlan:
+    """Reusable backward plan for one index array: sorted ids, gather
+    permutation (None when already sorted) and CSR row pointers."""
+    sidx: jnp.ndarray
+    inv: jnp.ndarray | None
+    offn: jnp.ndarray
+
+    @staticmethod
+    def build(idx, num_segments: int, *, perm=None, n_real=None):
+        from .pallas.segment_sum import plan_offsets
+        idx = idx.astype(jnp.int32)
+        if perm is None:
+            sidx, inv = idx, None
+        else:
+            inv = perm.astype(jnp.int32)
+            sidx = jnp.take(idx, inv)
+        return GatherPlan(sidx, inv,
+                          plan_offsets(sidx, num_segments, n_real=n_real))
+
+
+jax.tree_util.register_pytree_node(
+    GatherPlan,
+    lambda p: ((p.sidx, p.inv, p.offn), None),
+    lambda _, ch: GatherPlan(*ch))
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=())
-def _gather_csr(table, idx, sidx, inv):
+def _gather_csr(table, idx, sidx, inv, offn):
     """table[idx] with a CSR segment-sum backward.
 
     sidx: ``idx`` pre-sorted ascending; inv: permutation with
-    ``idx[inv] == sidx`` (identity when ``idx`` is already sorted)."""
+    ``idx[inv] == sidx`` (identity when ``idx`` is already sorted);
+    offn: CSR row pointers from :func:`plan_offsets` (or None to compute
+    in the backward)."""
     return table[idx]
 
 
-def _gather_fwd(table, idx, sidx, inv):
-    return table[idx], (idx, sidx, inv, table.shape[0])
+def _gather_fwd(table, idx, sidx, inv, offn):
+    return table[idx], (idx, sidx, inv, offn, table.shape[0])
 
 
 def _gather_bwd(res, g):
     from .pallas.segment_sum import csr_segment_sum
-    idx, sidx, inv, n = res
+    idx, sidx, inv, offn, n = res
     gs = g if inv is None else jnp.take(g, inv, axis=0)
-    dt = csr_segment_sum(gs, sidx, n, out_dtype=g.dtype)
-    return dt, None, None, None
+    dt = csr_segment_sum(gs, sidx, n, offn=offn, out_dtype=g.dtype)
+    return dt, None, None, None, None
 
 
 _gather_csr.defvjp(_gather_fwd, _gather_bwd)
 
 
-def gather_rows(table, idx, *, perm=None, ids_sorted=False):
+def gather_rows(table, idx, *, perm=None, ids_sorted=False, plan=None):
     """``table[idx]`` with the fast backward when the layout allows it.
 
     ``ids_sorted``: ``idx`` is non-decreasing (the dst layout invariant).
     ``perm``: stable argsort of ``idx`` (the collate-provided
-    ``edge_src_perm``). With neither, plain autodiff applies."""
+    ``edge_src_perm``). ``plan``: a precomputed :class:`GatherPlan` for
+    ``idx`` (shares the CSR searchsorted across layers). With none of
+    these, plain autodiff applies."""
     from . import attention as _att
     f = table.shape[-1]
     eligible = (_att.get_backend() == "pallas" and table.ndim == 2
-                and f % 128 == 0 and (ids_sorted or perm is not None))
+                and f % 128 == 0
+                and (plan is not None or ids_sorted or perm is not None))
     if not eligible:
         return table[idx]
+    if plan is not None:
+        return _gather_csr(table, idx, plan.sidx, plan.inv, plan.offn)
     if ids_sorted:
         inv = None          # backward consumes g as-is
         sidx = idx
     else:
         inv = perm.astype(jnp.int32)
         sidx = jnp.take(idx, inv)
-    return _gather_csr(table, idx, sidx, inv)
+    return _gather_csr(table, idx, sidx, inv, None)

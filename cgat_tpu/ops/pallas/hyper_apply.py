@@ -66,8 +66,21 @@ GROUP_O_BWD = 16  # dhdx's F-chunk: runs more live (BB, width) temporaries
 # equal to 32 (47.0 vs 47.7 us/call, v5e round 4)
 
 
+def _mm(a, b, dims, interp):
+    """bf16 x bf16 -> f32 dot. In interpret mode the operands are upcast to
+    f32 first: numerically IDENTICAL (bf16 values are exact in f32 and the
+    MXU accumulates f32 anyway), but avoids XLA:CPU's DotThunk gap on some
+    fused bf16 x bf16 = f32 forms ("Unsupported element type",
+    shape-dependent — surfaced at B=128, fine at B=768; round 4)."""
+    if interp and a.dtype == jnp.bfloat16:
+        a = a.astype(jnp.float32)
+        b = b.astype(jnp.float32)
+    return jax.lax.dot_general(a, b, dims,
+                               preferred_element_type=jnp.float32)
+
+
 def _fwd_kernel(h_ref, x_ref, k_ref, c_ref, out_ref, xt_s, s_s,
-                *, bb, ci, oi, f):
+                *, bb, ci, oi, f, interp):
     j = pl.program_id(0)
     O = oi
     I = (f - O) // O
@@ -98,22 +111,17 @@ def _fwd_kernel(h_ref, x_ref, k_ref, c_ref, out_ref, xt_s, s_s,
     # 16 MB budget); K stays resident whole, chunks are static lane slices
     for c in range(O // G):
         # predicted chunk, f32 accumulation then the XLA path's bf16 round
-        p_c = jax.lax.dot_general(
-            hv, k_ref[:, c * width:(c + 1) * width],
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+        p_c = _mm(hv, k_ref[:, c * width:(c + 1) * width],
+                  (((1,), (0,)), ((), ())), interp)
         p_c = (p_c + c_ref[:, c * width:(c + 1) * width]
                .astype(jnp.float32)).astype(hv.dtype)          # (BB, width)
         q_c = p_c * xt_s[...]
-        parts.append(jax.lax.dot_general(
-            q_c, s_s[...], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32))               # (BB, G)
+        parts.append(_mm(q_c, s_s[...], (((1,), (0,)), ((), ())),
+                         interp))                              # (BB, G)
     acc = jnp.concatenate(parts, axis=1)                       # (BB, O)
 
     # predicted bias tail: columns [W, W + O)
-    p_b = jax.lax.dot_general(
-        hv, k_ref[:, W:], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+    p_b = _mm(hv, k_ref[:, W:], (((1,), (0,)), ((), ())), interp)
     p_b = (p_b + c_ref[:, W:].astype(jnp.float32)).astype(hv.dtype)
     out_ref[...] = (acc + p_b.astype(jnp.float32)).astype(out_ref.dtype)
 
@@ -136,7 +144,8 @@ def _fwd_impl(hidden, kernel, bias, x, out_ch, interpret):
     w = f - oi
 
     out = pl.pallas_call(
-        functools.partial(_fwd_kernel, bb=bb, ci=ci, oi=oi, f=f),
+        functools.partial(_fwd_kernel, bb=bb, ci=ci, oi=oi, f=f,
+                          interp=interpret),
         grid=(nblocks,),
         in_specs=[
             pl.BlockSpec((bb, ci), lambda j: (j, 0),
@@ -171,7 +180,7 @@ def _g_tiled(gv, c, G, I):
 
 
 def _bwd_dhdx_kernel(h_ref, x_ref, g_ref, k_ref, c_ref, dh_ref, dx_ref,
-                     xt_s, *, bb, ci, oi, f):
+                     xt_s, *, bb, ci, oi, f, interp):
     """dh = dP @ K^T and dx = sum_o g_o * P_o per row block, F-chunked.
     dP = [Gt * Xt | g] where Gt replicates g across each o's I lanes."""
     O = oi
@@ -191,13 +200,11 @@ def _bwd_dhdx_kernel(h_ref, x_ref, g_ref, k_ref, c_ref, dh_ref, dx_ref,
     for c in range(O // G):
         gt = _g_tiled(gv, c, G, I)                             # (BB, width)
         kc = k_ref[:, c * width:(c + 1) * width]
-        p_c = jax.lax.dot_general(hv, kc, (((1,), (0,)), ((), ())),
-                                  preferred_element_type=jnp.float32)
+        p_c = _mm(hv, kc, (((1,), (0,)), ((), ())), interp)
         p_c = (p_c + c_ref[:, c * width:(c + 1) * width]
                .astype(jnp.float32)).astype(hv.dtype)
         dp_c = gt * xt_s[...]
-        dh = dh + jax.lax.dot_general(dp_c, kc, (((1,), (1,)), ((), ())),
-                                      preferred_element_type=jnp.float32)
+        dh = dh + _mm(dp_c, kc, (((1,), (1,)), ((), ())), interp)
         # dx += sum over the chunk's G output groups of g_o * P_o — static
         # I-lane slices accumulated in f32 (replaces the (BB, width) @
         # (width, I) one-hot contraction; bf16 products, f32 adds, same
@@ -206,49 +213,43 @@ def _bwd_dhdx_kernel(h_ref, x_ref, g_ref, k_ref, c_ref, dh_ref, dx_ref,
         for q in range(G):
             dx = dx + t[:, q * I:(q + 1) * I].astype(jnp.float32)
     # predicted-bias tail: dP[:, W:] = g
-    dh = dh + jax.lax.dot_general(gv, k_ref[:, W:], (((1,), (1,)), ((), ())),
-                                  preferred_element_type=jnp.float32)
+    dh = dh + _mm(gv, k_ref[:, W:], (((1,), (1,)), ((), ())), interp)
     dh_ref[...] = dh.astype(dh_ref.dtype)
     dx_ref[...] = dx.astype(dx_ref.dtype)
 
 
 def _bwd_dk_kernel(ht_ref, x_ref, g_ref, dk_ref, db_ref, xt_s,
-                   *, b_pad, ci, oi, f):
-    """dK_w chunk (C, width) = sum_b h[b]^T dP_w[b, chunk] and db_w chunk,
-    batch loop inside so each F-chunk is written exactly once."""
-    j = pl.program_id(0)
+                   *, b_pad, ci, oi, f, interp):
+    """dK_w (C, W) = sum_b h[b]^T dP_w[b] and db_w, F-chunked with the
+    batch loop inside so each weight chunk is written exactly once.
+
+    Single grid step with STATIC chunk indices, so the cotangent
+    replication uses the _g_tiled lane-broadcast form — the former grid
+    over chunks forced a per-batch (BR, O) @ (O, width) one-hot matmul
+    that doubled the kernel's MXU work (round-4 rework)."""
     O = oi
     I = (f - O) // O
-    G = GROUP_O
+    G = GROUP_O_BWD   # 16: the whole (C, W) output lives in VMEM now, so
+    # the chunk working set must stay small (32 overflowed by 0.4 MB)
     width = G * I
     BR = 128
 
-    # chunk one-hot built ONCE per grid step (j is a traced grid id, so the
-    # static-lane-slice _g_tiled form is unavailable here; the build used to
-    # sit inside the batch loop and ran B/128 times per step)
-    rows = jax.lax.broadcasted_iota(jnp.int32, (O, width), 0)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (O, width), 1)
-    s1t = jnp.where(cols // I + j * G == rows, 1.0, 0.0
-                    ).astype(g_ref.dtype)                      # (O, width)
-
-    acc = jnp.zeros((ci, width), jnp.float32)
-    dbacc = jnp.zeros((1, width), jnp.float32)
-    for bb in range(b_pad // BR):
-        gv = g_ref[bb * BR:(bb + 1) * BR, :]                   # (BR, O)
-        xv = x_ref[bb * BR:(bb + 1) * BR, :]
-        for g_i in range(G):
-            xt_s[:, g_i * I:(g_i + 1) * I] = xv
-        gt = jax.lax.dot_general(gv, s1t, (((1,), (0,)), ((), ())),
-                                 preferred_element_type=jnp.float32
-                                 ).astype(gv.dtype)
-        dp = gt * xt_s[...]                                    # (BR, width)
-        acc = acc + jax.lax.dot_general(
-            ht_ref[:, bb * BR:(bb + 1) * BR], dp, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        dbacc = dbacc + jnp.sum(dp.astype(jnp.float32), axis=0,
-                                keepdims=True)
-    dk_ref[...] = acc.astype(dk_ref.dtype)
-    db_ref[...] = dbacc.astype(db_ref.dtype)
+    for c in range(O // G):
+        acc = jnp.zeros((ci, width), jnp.float32)
+        dbacc = jnp.zeros((1, width), jnp.float32)
+        for bb in range(b_pad // BR):
+            gv = g_ref[bb * BR:(bb + 1) * BR, :]               # (BR, O)
+            xv = x_ref[bb * BR:(bb + 1) * BR, :]
+            for g_i in range(G):
+                xt_s[:, g_i * I:(g_i + 1) * I] = xv
+            gt = _g_tiled(gv, c, G, I)                         # (BR, width)
+            dp = gt * xt_s[...]
+            acc = acc + _mm(ht_ref[:, bb * BR:(bb + 1) * BR], dp,
+                            (((1,), (0,)), ((), ())), interp)
+            dbacc = dbacc + jnp.sum(dp.astype(jnp.float32), axis=0,
+                                    keepdims=True)
+        dk_ref[:, c * width:(c + 1) * width] = acc.astype(dk_ref.dtype)
+        db_ref[:, c * width:(c + 1) * width] = dbacc.astype(db_ref.dtype)
 
 
 def _fused_bwd(hidden, kernel, bias, x, g, out_ch, interpret):
@@ -257,8 +258,7 @@ def _fused_bwd(hidden, kernel, bias, x, g, out_ch, interpret):
     oi = out_ch
     ii = x.shape[1]
     w = oi * ii
-    width = GROUP_O * ii          # dK kernel's F-chunk
-    width_b = GROUP_O_BWD * ii    # dhdx kernel's F-chunk
+    width_b = GROUP_O_BWD * ii    # dhdx and dK kernels' F-chunk
     bb = BLOCK_ROWS
     pad = (-b_tot) % 128  # dK kernel iterates 128-row batches
     if pad:
@@ -269,7 +269,8 @@ def _fused_bwd(hidden, kernel, bias, x, g, out_ch, interpret):
     cvec = bias.reshape(1, f)
 
     dh, dx = pl.pallas_call(
-        functools.partial(_bwd_dhdx_kernel, bb=bb, ci=ci, oi=oi, f=f),
+        functools.partial(_bwd_dhdx_kernel, bb=bb, ci=ci, oi=oi, f=f,
+                          interp=interpret),
         grid=(b_pad // bb,),
         in_specs=[
             pl.BlockSpec((bb, ci), lambda j: (j, 0),
@@ -298,23 +299,22 @@ def _fused_bwd(hidden, kernel, bias, x, g, out_ch, interpret):
 
     ht = hidden.T  # (C, B) — tiny XLA transpose (0.2 MB at flagship)
     dk_w, db_w = pl.pallas_call(
-        functools.partial(_bwd_dk_kernel, b_pad=b_pad, ci=ci, oi=oi, f=f),
-        grid=(w // width,),
+        functools.partial(_bwd_dk_kernel, b_pad=b_pad, ci=ci, oi=oi, f=f,
+                          interp=interpret),
+        grid=(1,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),      # hidden^T (whole)
             pl.BlockSpec(memory_space=pltpu.VMEM),      # x (whole)
             pl.BlockSpec(memory_space=pltpu.VMEM),      # g (whole)
         ],
         out_specs=[
-            pl.BlockSpec((ci, width), lambda j: (0, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, width), lambda j: (0, j),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),      # dK_w (whole)
+            pl.BlockSpec(memory_space=pltpu.VMEM),      # db_w (whole)
         ],
         out_shape=[jax.ShapeDtypeStruct((ci, w), kernel.dtype),
                    jax.ShapeDtypeStruct((1, w), jnp.float32)],
         scratch_shapes=[
-            pltpu.VMEM((128, width), hidden.dtype),     # xt per 128 rows
+            pltpu.VMEM((128, width_b), hidden.dtype),   # xt per 128 rows
         ],
         interpret=interpret,
         name="hyper_apply_bwd_dk",
@@ -322,9 +322,8 @@ def _fused_bwd(hidden, kernel, bias, x, g, out_ch, interpret):
 
     # predicted-bias tail columns [W, F): dP there is just g — plain 2D dots
     g2 = g.astype(jnp.float32)
-    dk_b = jax.lax.dot_general(hidden, g, (((0,), (0,)), ((), ())),
-                               preferred_element_type=jnp.float32
-                               ).astype(kernel.dtype)          # (C, O)
+    dk_b = _mm(hidden, g, (((0,), (0,)), ((), ())),
+               interpret).astype(kernel.dtype)                 # (C, O)
     db_b = jnp.sum(g2, axis=0)
     dk = jnp.concatenate([dk_w, dk_b], axis=1)
     db = jnp.concatenate([db_w[0], db_b]).astype(bias.dtype)

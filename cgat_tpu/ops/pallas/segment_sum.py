@@ -89,8 +89,21 @@ def _kernel(off_ref, val_hbm, lo_ref, hi_ref, out_ref, v_s, sems,
     out_ref[...] = acc.astype(out_ref.dtype)
 
 
+def plan_offsets(sorted_ids, num_segments: int, *, n_real=None,
+                 block_nodes: int = BLOCK_NODES):
+    """CSR row pointers for :func:`csr_segment_sum` — computed once and
+    shared across calls that sum over the same index array (the flagship
+    gathers through the same dst/src ids in every layer; the searchsorted
+    is a device while-loop XLA does not CSE)."""
+    nblocks = -(-num_segments // block_nodes)
+    n_pad = nblocks * block_nodes
+    nr = (jnp.asarray(sorted_ids.shape[0], jnp.int32) if n_real is None
+          else jnp.asarray(n_real, jnp.int32))
+    return _node_offsets(sorted_ids.astype(jnp.int32), nr, n_pad)
+
+
 def csr_segment_sum(vals, ids, num_segments: int, *, n_real=None,
-                    out_dtype=None,
+                    offn=None, out_dtype=None,
                     block_nodes: int = BLOCK_NODES,
                     block_rows: int = BLOCK_ROWS,
                     interpret: bool | None = None):
@@ -99,8 +112,9 @@ def csr_segment_sum(vals, ids, num_segments: int, *, n_real=None,
     vals: (E, F) with F a multiple of 128 (caller falls back to XLA
     otherwise); ids: (E,) int32 non-decreasing. ``n_real``: count of real
     rows when padding is a False-suffix (rows >= n_real are excluded);
-    None sums every row. Accumulation is f32; output in ``out_dtype``
-    (default ``vals.dtype``)."""
+    None sums every row. ``offn``: precomputed :func:`plan_offsets` result
+    (must match ``ids``/``n_real``/``block_nodes``). Accumulation is f32;
+    output in ``out_dtype`` (default ``vals.dtype``)."""
     if interpret is None:
         interpret = INTERPRET or jax.default_backend() != "tpu"
     e_tot, f = vals.shape
@@ -111,13 +125,14 @@ def csr_segment_sum(vals, ids, num_segments: int, *, n_real=None,
         vals = jnp.pad(vals, ((0, extra), (0, 0)))
         ids = jnp.pad(ids, ((0, extra),), constant_values=num_segments - 1)
         if n_real is None:
-            n_real = e_tot
+            n_real = e_tot   # exclude the rows this pad just added
         e_tot += extra
     nblocks = -(-num_segments // bn)
     n_pad = nblocks * bn
-    nr = (jnp.asarray(e_tot, jnp.int32) if n_real is None
-          else jnp.asarray(n_real, jnp.int32))
-    offn = _node_offsets(ids.astype(jnp.int32), nr, n_pad)
+    if offn is None or offn.shape[0] < n_pad + 1:
+        nr = (jnp.asarray(e_tot, jnp.int32) if n_real is None
+              else jnp.asarray(n_real, jnp.int32))
+        offn = _node_offsets(ids.astype(jnp.int32), nr, n_pad)
     offsets = offn[:n_pad + 1:bn]
     lo = offn[:n_pad].reshape(nblocks, bn)
     hi = offn[1:n_pad + 1].reshape(nblocks, bn)
