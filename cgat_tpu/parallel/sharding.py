@@ -48,6 +48,10 @@ def batch_pspecs(edge_sharded: bool = True) -> CrystalBatch:
     def spec_for(name):
         if name in _HALO_FIELDS:
             return None
+        if name == "edge_src_perm":
+            # collate ships it only for single-shard layouts (the fast
+            # gather backward); None under edge sharding
+            return None if edge_sharded else P("dp")
         if edge_sharded and name in _EDGE_FIELDS:
             return P("dp", "edge")
         return P("dp")
@@ -63,6 +67,8 @@ def shardmap_batch_pspecs(edge_sharded: bool = True) -> CrystalBatch:
     def spec_for(name):
         if name in _HALO_FIELDS:
             return P("dp", "edge") if edge_sharded else None
+        if name == "edge_src_perm":
+            return None if edge_sharded else P("dp")
         if edge_sharded and name in _EDGE_FIELDS + _NODE_FIELDS:
             return P("dp", "edge")
         return P("dp")
