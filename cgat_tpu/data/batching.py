@@ -77,9 +77,13 @@ class CrystalBatch:
     # features each shard needs — comm per layer is O(S*H*F), proportional
     # to the partition boundary, not O(N*F) like a full all_gather.
     halo_send_idx: jnp.ndarray | None = None  # i32 (S*S, H)
-    # Stable argsort of ``edge_src`` (single-shard collate only; None under
-    # edge sharding). Lets the backward of the per-edge source gather run as
-    # a sorted CSR segment sum instead of an XLA scatter (ops/gather.py).
+    # Stable argsort of ``edge_src`` (ops/gather.py CSR backward). Layout
+    # depends on the collate mode: single-shard collates ship the global
+    # argsort (values in [0, E)); edge-sharded collates ship a PER-SHARD
+    # argsort of each local-src block with BLOCK-LOCAL values (shard s's
+    # segment [s*cap, (s+1)*cap) holds argsort(edge_src[s*cap:(s+1)*cap]),
+    # values in [0, cap)) — exactly what each shard_map cell needs for its
+    # local gather backward; meaningless to index with globally.
     edge_src_perm: jnp.ndarray | None = None  # i32 (E,)
 
     @property
@@ -375,6 +379,14 @@ def collate(graphs: Sequence[CrystalGraph],
                 arr_m[c0:c0 + c] = True
         halo_src_ext, halo_send_idx, _ = _halo_layout(
             halo_src, halo_mask, n_loc, S, cap_h, halo_slots)
+        # per-shard stable argsort of the local-src block (block-local
+        # values): each shard_map cell's CSR gather backward permutes its
+        # own (cap,)-slice with its own perm slice
+        src_perm = np.empty((E,), np.int32)
+        for s in range(S):
+            blk = slice(s * cap, (s + 1) * cap)
+            src_perm[blk] = np.argsort(edge_src[blk],
+                                       kind="stable").astype(np.int32)
         halo = dict(
             halo_src=jnp.asarray(halo_src),
             halo_dst=jnp.asarray(halo_dst),
@@ -402,8 +414,9 @@ def collate(graphs: Sequence[CrystalGraph],
         edge_dst=jnp.asarray(edge_dst),
         edge_shell=jnp.asarray(edge_shell),
         edge_mask=jnp.asarray(edge_mask),
-        edge_src_perm=(None if halo else jnp.asarray(
-            np.argsort(edge_src, kind="stable").astype(np.int32))),
+        edge_src_perm=jnp.asarray(
+            src_perm if halo else
+            np.argsort(edge_src, kind="stable").astype(np.int32)),
         comp_fea=jnp.asarray(comp_fea),
         comp_weight=jnp.asarray(comp_weight),
         comp_mask=jnp.asarray(comp_mask),

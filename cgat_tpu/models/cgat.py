@@ -103,6 +103,13 @@ class GATConvNodes(nn.Module):
     hyper_remat: bool = False
     split_projection: bool = False
     pair_backend: str | None = None   # aggregation backend for halo pairs
+    # per-block layout invariants (dst-sorted, False-suffix mask, local ids)
+    # hold for the PRIMARY edge arrays even though ``halo`` is present —
+    # true inside a shard_map cell (each device sees exactly one shard's
+    # local block), false for the single-device consumption of a sharded
+    # layout (blocks concatenated, padding interleaved). Gates the fused
+    # kernels + CSR gather backward in halo mode.
+    halo_blocked: bool = False
 
     @nn.compact
     def __call__(self, x, edge_src, edge_dst, edge_attr, x_0, edge_mask,
@@ -136,44 +143,74 @@ class GATConvNodes(nn.Module):
             # sorted CSR segment sum on the MXU instead of an XLA
             # scatter-add (~65 us -> ~15 us per scatter, ops/gather.py);
             # dst is sorted by the batch invariant, src via the collate's
-            # stable argsort permutation. ``gather_plans`` shares the CSR
-            # searchsorted across the model's layers (CGAtNet builds them
-            # once per step)
-            dst_plan, src_plan = gather_plans or (None, None)
+            # stable argsort permutation (per-shard under edge sharding).
+            # ``gather_plans`` shares the CSR searchsorted across the
+            # model's layers (CGAtNet builds them once per step)
+            blocked = halo is None or self.halo_blocked
+            dst_plan, src_plan, *rest = (
+                list(gather_plans) + [None] if gather_plans
+                else [None, None, None])
+            halo_dst_plan = rest[0] if rest else None
             m_cat = jnp.concatenate(
-                [gather_rows(x, edge_dst, ids_sorted=halo is None,
+                [gather_rows(x, edge_dst, ids_sorted=blocked,
                              plan=dst_plan),
                  edge_attr,
                  gather_rows(x, edge_src,
-                             perm=src_perm if halo is None else None,
+                             perm=src_perm if blocked else None,
                              plan=src_plan)],
                 axis=-1)
             # fused 2D fast path: MH nets and the segment softmax-aggregate
             # exchange (E, H*F) head-major FLAT tensors (no (E, H, hid) /
             # (E, H, F) relayouts in either direction), and the head mean
-            # is static lane-slice adds on the small node-sized result
+            # is static lane-slice adds on the small node-sized result.
+            # Engages both plain (halo is None) and inside a shard_map cell
+            # (halo_blocked): each cell's LOCAL block satisfies the kernel
+            # invariants, so the edge-sharded step runs the same production
+            # kernels per chip as the single-chip step (VERDICT r4 ask 1);
+            # only the small halo block stays on the einsum path and the
+            # union softmax merges the blocks flash-style (pair_flat).
             from ..ops import attention as _att
             from ..ops.pallas.mh_network import _block_rows
             from ..ops.pallas.mh_network import supported as _mh_ok
             from ..ops.pallas.segment_attention import (
-                edge_softmax_aggregate_flat)
+                edge_softmax_aggregate_flat, edge_softmax_aggregate_pair_flat)
             cdt = self.dtype or jnp.float32
-            hd = int(cat_dim / 1.5)
-            use_flat = (halo is None
+            use_flat = (blocked
                         and not (self.dropout > 0.0 and not deterministic)
                         and not self.final
                         and _att.get_backend() == "pallas"
                         and self.vector_attention
-                        and _mh_ok(cat_dim, hd, self.out_channels,
+                        and _mh_ok(cat_dim, hidden, self.out_channels,
                                    self.heads, cdt)
                         and _block_rows(m_cat.shape[0]) is not None)
+            alpha = m = None
             if use_flat:
                 alpha2 = mh_a(m_cat, flat=True)
                 m2 = mh_m(m_cat, flat=True)
-                aggr2 = edge_softmax_aggregate_flat(
-                    alpha2, m2, dst_l, num_nodes,
-                    edge_mask=edge_mask)                  # (N, H*F)
+                if alpha2.ndim == 3:
+                    # blocks.py fell back to the einsum path (kernel-
+                    # ineligible despite the gate, e.g. dims drifted):
+                    # degrade to the rank-3 dataflow instead of crashing
+                    alpha, m, use_flat = alpha2, m2, False
+            if use_flat:
                 c_ = self.out_channels
+                if halo is None:
+                    aggr2 = edge_softmax_aggregate_flat(
+                        alpha2, m2, dst_l, num_nodes,
+                        edge_mask=edge_mask)              # (N, H*F)
+                else:
+                    src_h, dst_h, attr_h, mask_h, table_h = halo
+                    m_cat_h = jnp.concatenate(
+                        [gather_rows(x, dst_h, ids_sorted=True,
+                                     plan=halo_dst_plan),
+                         attr_h, table_h[src_h]], axis=-1)
+                    e_h = m_cat_h.shape[0]
+                    alpha_h = mh_a(m_cat_h)               # (Eh, H, F) einsum
+                    m_h = mh_m(m_cat_h)
+                    aggr2 = edge_softmax_aggregate_pair_flat(
+                        alpha2, m2, dst_l, edge_mask,
+                        alpha_h.reshape(e_h, -1), m_h.reshape(e_h, -1),
+                        dst_h, mask_h, num_nodes)         # (N, H*F)
                 aggr = sum(aggr2[:, k * c_:(k + 1) * c_].astype(jnp.float32)
                            for k in range(self.heads)) / self.heads
                 aggr = aggr.astype(aggr2.dtype)
@@ -184,8 +221,9 @@ class GATConvNodes(nn.Module):
                 return HNet(c_, 3, c_, c_, 2, c_, c_, dtype=self.dtype,
                             remat=self.hyper_remat,
                             name="Pooling_NN")(x_0, x, aggr)
-            alpha = mh_a(m_cat)
-            m = mh_m(m_cat)
+            if alpha is None:
+                alpha = mh_a(m_cat)
+                m = mh_m(m_cat)
         if halo is not None:
             src_h, dst_h, attr_h, mask_h, table_h = halo
             m_cat_h = jnp.concatenate([x[dst_h], attr_h,
@@ -394,19 +432,31 @@ class CGAtNet(nn.Module):
             pair_backend = None
             src_table = lambda x: None
 
-        # one CSR plan pair for all layers' gather backwards (the
+        # one CSR plan set for all layers' gather backwards (the
         # searchsorted is a device while-loop XLA does not CSE; 5 layers x
         # 2 gathers re-ran it 10x — round-4 trace)
         gather_plans = None
-        if not halo_mode and batch.edge_src_perm is not None:
-            from ..ops import attention as _att_backend
-            if _att_backend.get_backend() == "pallas":
-                from ..ops.gather import GatherPlan
-                n_slots = batch.nodes.shape[0]
+        from ..ops import attention as _att_backend
+        if (_att_backend.get_backend() == "pallas"
+                and batch.edge_src_perm is not None):
+            from ..ops.gather import GatherPlan
+            n_slots = batch.nodes.shape[0]
+            if not halo_mode:
                 gather_plans = (
                     GatherPlan.build(batch.edge_dst, n_slots),
                     GatherPlan.build(batch.edge_src, n_slots,
                                      perm=batch.edge_src_perm))
+            elif edge_axis is not None:
+                # inside a shard_map cell: LOCAL indices against the local
+                # node slice; the edge-sharded collate's per-shard perm
+                # carries block-local values (data/batching.py), so each
+                # cell permutes its own local block. Third plan: the halo
+                # block's (sorted) destination gather.
+                gather_plans = (
+                    GatherPlan.build(dst_idx, n_slots),
+                    GatherPlan.build(src_idx, n_slots,
+                                     perm=batch.edge_src_perm),
+                    GatherPlan.build(dst_h, n_slots))
 
         nbr_embed = nn.Embed(cfg.neighbor_number + 1, cfg.nbr_embedding_size,
                              embedding_init=nn.initializers.normal(1.0),
@@ -433,6 +483,7 @@ class CGAtNet(nn.Module):
                             hyper_remat=cfg.hyper_remat,
                             split_projection=cfg.split_projection,
                             pair_backend=pair_backend,
+                            halo_blocked=edge_axis is not None,
                             name=f"graph_{i}_Node")
 
         def edge_layer(i):

@@ -166,11 +166,35 @@ def _vjp_fwd(x, win, bin_, wout, bout, dims, interpret):
     return out, (x, h, win, wout)
 
 
+def _xla_bwd(x, h, g, win, wout, heads, hid, f):
+    """Plain-XLA backward (same math as _bwd_kernel) for edge counts whose
+    only block divisor fits the forward's MAX_BLOCK but not MAX_BLOCK_BWD
+    (e.g. E = 928 = 2*464: fwd runs at be=464, but no 16-multiple divisor
+    lies in [128, 384]). Keeps those batch shapes trainable instead of
+    crashing at grad-trace time."""
+    e_tot = x.shape[0]
+    g3 = g.astype(jnp.float32).reshape(e_tot, heads, f)
+    h3 = h.astype(jnp.float32).reshape(e_tot, heads, hid)
+    w3 = wout.astype(jnp.float32).reshape(heads, hid, f)
+    dh = jnp.einsum("ehf,hjf->ehj", g3, w3).reshape(e_tot, heads * hid)
+    dpre = jnp.where(h.astype(jnp.float32) > 0, dh, LEAKY_SLOPE * dh)
+    dpre_b = dpre.astype(x.dtype)
+    dx = (dpre_b @ win.T).astype(x.dtype)
+    dwin = jnp.einsum("ec,ew->cw", x.astype(jnp.float32), dpre)
+    dbin = jnp.sum(dpre, axis=0)
+    dwout = jnp.einsum("ehj,ehf->hjf", h3, g3).reshape(heads * hid, f)
+    dbout = jnp.sum(g3, axis=0).reshape(heads * f)
+    return (dx, dwin.astype(win.dtype), dbin.astype(win.dtype),
+            dwout.astype(wout.dtype), dbout.astype(wout.dtype))
+
+
 def _vjp_bwd(dims, interpret, res, g):
     heads, hid, f = dims
     x, h, win, wout = res
     e_tot, cat = x.shape
     be = _block_rows(e_tot, MAX_BLOCK_BWD)
+    if be is None:
+        return _xla_bwd(x, h, g, win, wout, heads, hid, f)
     grid = (e_tot // be,)
     acc = lambda j, *_: (0, 0)
     dx, dwin, dbin, dwout, dbout = pl.pallas_call(

@@ -339,13 +339,26 @@ def _vjp_bwd(num_nodes, bn, be, interpret, res, g):
 
 
 def _bwd_call(alpha2, m2, dst2, n_real, q, maxv, out, offn, num_nodes, be,
-              interpret):
+              interpret, cover_all=False):
     """Backward kernel launch shared by the single-array op and the
     local/halo pair op: d_alpha_e = p_e*g_n*(m_e - out_n), d_m_e = p_e*g_n
     with p_e = exp(alpha_e - maxv_n) * q_n and q = g/(den+eps). Exact for
     ANY per-node shift ``maxv`` as long as ``den``/``out`` used it too —
     which is what lets the pair op pass MERGED (gmax, den, out) node arrays
-    here and get the true VJP of the union softmax per block."""
+    here and get the true VJP of the union softmax per block.
+
+    ``cover_all``: every block's one-hot window spans the WHOLE node range
+    [0, num_nodes) instead of [first_dst, first_dst + be + align). The
+    narrow window assumes each sorted BE-edge block's destinations span at
+    most ``be + align`` node ids — true when (nearly) every node in the id
+    range has an incident edge (the dense single-batch layout: every atom
+    has >= 1 in-edge, padding is a suffix) but WRONG for sparse blocks:
+    a halo block only touches boundary nodes, and an edge-sharded local
+    block skips nodes whose in-edges are all remote (a split crystal's
+    fragment), so a block can span arbitrarily many ids and out-of-window
+    edges would silently get zero gradient (caught by the round-5 verify
+    drive). The pair op therefore always passes cover_all=True — its
+    num_nodes is a shard slice, so the wider gather matmul stays cheap."""
     e_tot, hf = alpha2.shape
     # much smaller blocks than fwd: the gather matmul is (BE, BE+8) x
     # (BE+8, 3*HF), so total backward gather FLOPs scale with E*(BE+8) —
@@ -354,27 +367,33 @@ def _bwd_call(alpha2, m2, dst2, n_real, q, maxv, out, offn, num_nodes, be,
     # 256 -> 7.96 ms, 192 -> 7.28, 96 -> 6.59 (knee), 64 -> 6.77, 32 -> 7.09;
     # full train step +4.7% sparse / +5.5% dense at 96 vs 192.
     be = _bwd_block(e_tot, be)
-    # a sorted BE-edge block touches at most BE distinct nodes; +align
-    # covers the sublane alignment of the node-slice DMA start (8 rows for
-    # f32, 16 for bf16 — Mosaic DMA requirement). The one-hot's lane axis
-    # is padded up to span_pad with guaranteed-zero columns (hi window 0).
+    # narrow mode: a sorted BE-edge block touches at most BE distinct
+    # nodes; +align covers the sublane alignment of the node-slice DMA
+    # start (8 rows for f32, 16 for bf16 — Mosaic DMA requirement). The
+    # one-hot's lane axis is padded up to span_pad with guaranteed-zero
+    # columns (hi window 0).
     bf16 = alpha2.dtype == jnp.bfloat16
     align = 16 if bf16 else 8
-    span = be + align
+    span = (num_nodes + align) if cover_all else (be + align)
     span_pad = -(-span // 128) * 128
     nblocks = e_tot // be
 
-    starts = dst2[jnp.arange(nblocks) * be, 0].astype(jnp.int32)
-    starts = (starts // align) * align
+    if cover_all:
+        starts = jnp.zeros((nblocks,), jnp.int32)
+    else:
+        starts = dst2[jnp.arange(nblocks) * be, 0].astype(jnp.int32)
+        starts = (starts // align) * align
     meta = starts
     # per-block CSR windows for the membership one-hot: column c of block j
     # covers edges [off[starts_j + c], off[starts_j + c + 1]). offn comes
     # from the forward's residuals (computed once per op, length
     # >= num_nodes + span + 1 by construction in _fwd_impl — unless a
     # BWD_BLOCK_EDGES override makes the backward block exceed the
-    # forward's, in which case recompute a long-enough version).
-    if offn.shape[0] < num_nodes + span + 1:
-        offn = _node_offsets(dst2[:, 0], n_real, num_nodes + span)
+    # forward's, or cover_all widens the window, in which case recompute a
+    # long-enough version).
+    need = (span + 1) if cover_all else (num_nodes + span + 1)
+    if offn.shape[0] < need:
+        offn = _node_offsets(dst2[:, 0], n_real, need - 1)
     cidx = starts[:, None] + jnp.arange(span + 1, dtype=jnp.int32)[None, :]
     offw = offn[cidx]                                   # (nblocks, span + 1)
     lane_pad = ((0, 0), (0, span_pad - span))
@@ -483,26 +502,29 @@ def _pair_vjp_fwd(al, ml, dl, nl, ah, mh_, dh, nh, num_nodes, bn, be_l,
 def _pair_vjp_bwd(num_nodes, bn, be_l, be_h, interpret, res, g):
     al, ml, dl, nl, ah, mh_, dh, nh, gmax, den, out, offn_l, offn_h = res
     q = g / (den + EPS)
+    # cover_all: both blocks of a sharded layout can be dst-SPARSE (halo
+    # blocks touch only boundary nodes; local blocks skip nodes whose
+    # in-edges are all remote), which breaks the narrow-window assumption —
+    # see _bwd_call
     dal, dml = _bwd_call(al, ml, dl, nl, q, gmax, out, offn_l, num_nodes,
-                         be_l, interpret)
+                         be_l, interpret, cover_all=True)
     dah, dmh = _bwd_call(ah, mh_, dh, nh, q, gmax, out, offn_h, num_nodes,
-                         be_h, interpret)
+                         be_h, interpret, cover_all=True)
     return dal, dml, None, None, dah, dmh, None, None
 
 
 _pair_aggregate.defvjp(_pair_vjp_fwd, _pair_vjp_bwd)
 
 
-def _prep_block(alpha, m, edge_dst, edge_mask, num_nodes, block_edges):
-    """Flatten (E, H, F) -> (E, HF), compute the real-edge count from the
+def _prep_flat(alpha2, m2, edge_dst, edge_mask, num_nodes, block_edges):
+    """2D prep: pick the compute dtype, compute the real-edge count from the
     False-suffix mask, and pad the edge axis to a whole number of blocks
     (sublane-friendly: block sizes are multiples of 16 so bf16 DMA windows
     stay aligned even for tiny halo blocks)."""
-    e_tot, h, f = alpha.shape
-    hf = h * f
-    keep = alpha.dtype if alpha.dtype == jnp.bfloat16 else jnp.float32
-    alpha2 = alpha.astype(keep).reshape(e_tot, hf)
-    m2 = m.astype(keep).reshape(e_tot, hf)
+    e_tot, hf = alpha2.shape
+    keep = alpha2.dtype if alpha2.dtype == jnp.bfloat16 else jnp.float32
+    alpha2 = alpha2.astype(keep)
+    m2 = m2.astype(keep)
     dst2 = edge_dst.astype(jnp.int32).reshape(e_tot, 1)
     n_real = (jnp.sum(edge_mask.astype(jnp.int32)) if edge_mask is not None
               else jnp.asarray(e_tot, jnp.int32))
@@ -514,6 +536,13 @@ def _prep_block(alpha, m, edge_dst, edge_mask, num_nodes, block_edges):
         dst2 = jnp.pad(dst2, ((0, extra), (0, 0)),
                        constant_values=num_nodes - 1)
     return alpha2, m2, dst2, n_real, be
+
+
+def _prep_block(alpha, m, edge_dst, edge_mask, num_nodes, block_edges):
+    """(E, H, F) entry: flatten then 2D prep."""
+    e_tot, h, f = alpha.shape
+    return _prep_flat(alpha.reshape(e_tot, h * f), m.reshape(e_tot, h * f),
+                      edge_dst, edge_mask, num_nodes, block_edges)
 
 
 def edge_softmax_aggregate_pair(alpha_l, m_l, dst_l, mask_l,
@@ -541,6 +570,35 @@ def edge_softmax_aggregate_pair(alpha_l, m_l, dst_l, mask_l,
     out = _pair_aggregate(al, ml, dl, nl, ah, mh_, dh, nh, num_nodes,
                           block_nodes, be_l, be_h, interpret)
     return out.reshape(num_nodes, h, f).astype(alpha_l.dtype)
+
+
+def edge_softmax_aggregate_pair_flat(alpha2_l, m2_l, dst_l, mask_l,
+                                     alpha2_h, m2_h, dst_h, mask_h,
+                                     num_nodes, *,
+                                     block_nodes: int = BLOCK_NODES,
+                                     block_edges: int = BLOCK_EDGES,
+                                     interpret: bool | None = None):
+    """2D entry of the local/halo pair op: both blocks are (E, H*F)
+    head-major flat (the fused MH-network kernel's local output; the halo
+    block — typically small and MH-ineligible — arrives as a reshaped
+    einsum result) and the union-softmax result stays (N, H*F) flat. This
+    is what lets the edge-sharded shard_map step run the round-4 production
+    layout end to end: local MH kernel -> flat pair aggregate, with only
+    the boundary block consuming the ``all_to_all``. Requirements per
+    block: dst-sorted edges, False-suffix mask (each shard_map cell's local
+    view of the edge-sharded collate layout guarantees both)."""
+    if interpret is None:
+        interpret = INTERPRET or jax.default_backend() != "tpu"
+    e_l, hf = alpha2_l.shape
+    assert hf % 128 == 0, "flat pair entry requires lane-multiple H*F"
+    al, ml, dl, nl, be_l = _prep_flat(alpha2_l, m2_l, dst_l, mask_l,
+                                      num_nodes, block_edges)
+    ah, mh_, dh, nh, be_h = _prep_flat(alpha2_h, m2_h, dst_h, mask_h,
+                                       num_nodes, block_edges)
+    out = _pair_aggregate(al, ml, dl, nl, ah, mh_, dh, nh, num_nodes,
+                          block_nodes, be_l, be_h, interpret)
+    keep = alpha2_l.dtype if alpha2_l.dtype == jnp.bfloat16 else jnp.float32
+    return out.astype(keep)
 
 
 def edge_softmax_aggregate_flat(alpha2, m2, edge_dst, num_nodes, *,

@@ -68,7 +68,10 @@ def shardmap_batch_pspecs(edge_sharded: bool = True) -> CrystalBatch:
         if name in _HALO_FIELDS:
             return P("dp", "edge") if edge_sharded else None
         if name == "edge_src_perm":
-            return None if edge_sharded else P("dp")
+            # edge-sharded collates ship a PER-SHARD argsort with block-local
+            # values (data/batching.py), so it shards over `edge` like the
+            # local edge block it permutes
+            return P("dp", "edge") if edge_sharded else P("dp")
         if edge_sharded and name in _EDGE_FIELDS + _NODE_FIELDS:
             return P("dp", "edge")
         return P("dp")

@@ -307,3 +307,38 @@ def test_pair_bf16_mode(rng):
     ))(lb16[0])
     assert g.dtype == jnp.bfloat16
     assert np.isfinite(np.asarray(g, np.float32)).all()
+
+
+def test_pair_flat_matches_union(rng):
+    """The 2D (head-major flat) pair entry — the layout the edge-sharded
+    shard_map step feeds it (local block from the fused MH kernel, halo
+    block a reshaped einsum result) — against the union oracle, forward
+    and gradients, f32 tight."""
+    from cgat_tpu.ops.pallas.segment_attention import (
+        edge_softmax_aggregate_pair_flat as pair_flat)
+    lb, hb, n = make_pair_problem(rng, n_l=500, n_h=60)
+    e_l, h, f = lb[0].shape
+    e_h = hb[0].shape[0]
+    flat = lambda a: a.reshape(a.shape[0], -1)
+    want = np.asarray(_union_oracle(lb, hb, n)).reshape(n, h * f)
+    got = np.asarray(pair_flat(flat(lb[0]), flat(lb[1]), lb[2], lb[3],
+                               flat(hb[0]), flat(hb[1]), hb[2], hb[3], n,
+                               block_nodes=8, block_edges=256,
+                               interpret=True))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+    def loss_o(al, ml, ah, mh_):
+        return jnp.sum(_union_oracle((al, ml, lb[2], lb[3]),
+                                     (ah, mh_, hb[2], hb[3]), n) ** 2)
+
+    def loss_p(al, ml, ah, mh_):
+        out = pair_flat(flat(al), flat(ml), lb[2], lb[3], flat(ah),
+                        flat(mh_), hb[2], hb[3], n, block_nodes=8,
+                        block_edges=256, interpret=True)
+        return jnp.sum(out ** 2)
+
+    go = jax.grad(loss_o, argnums=(0, 1, 2, 3))(lb[0], lb[1], hb[0], hb[1])
+    gp = jax.grad(loss_p, argnums=(0, 1, 2, 3))(lb[0], lb[1], hb[0], hb[1])
+    for a, b in zip(gp, go):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=3e-5, atol=3e-5)

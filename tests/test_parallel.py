@@ -443,3 +443,154 @@ def test_embeddings_parallel_matches_single_device():
     multi = trainer.embeddings_parallel(params, graphs, 4)
     assert multi.shape == single.shape == (21, CGATConfig(**TINY).embedding_dim)
     np.testing.assert_allclose(multi, single, rtol=2e-4, atol=1e-5)
+
+
+def _fused_mesh_setup():
+    """Flagship-like MH dims (bf16, MH-kernel-eligible) on a dp=2 x edge=2
+    mesh with forced per-shard edge capacities that satisfy the fused
+    kernels' block policy (192 = 16-multiple in [128, 768])."""
+    from cgat_tpu.models.host_init import init_params_host
+    cfg = CGATConfig(orig_elem_fea_len=16, elem_fea_len=128, n_graph=2,
+                     nbr_embedding_size=128, neighbor_number=16, msg_heads=5,
+                     n_graph_roost=1, out_hidden=(16,),
+                     compute_dtype="bfloat16")
+    graphs = random_graphs(0, 4, n_atoms_range=(4, 6), max_nbr=16,
+                           orig_fea=16)
+    model = CGAtNet(cfg)
+    chunks = [graphs[:2], graphs[2:]]
+    batches = [collate(c, max_nbr=16, node_bucket=8, num_node_slots=16,
+                       num_comp_slots=8, edge_shards=2,
+                       edge_slots_per_shard=192, halo_edge_slots=192,
+                       halo_slots=8) for c in chunks]
+    stacked = stack_batches(batches)
+    b0 = collate(graphs[:2], max_nbr=16, node_bucket=8, num_comp_slots=8)
+    params = init_params_host(model, b0, seed=0)
+    return cfg, model, params, stacked
+
+
+def _collect_pallas_calls(jxp, out, tainted=None):
+    """(kernel_name, leading input dims, tainted-by-all_to_all) triples from
+    a (nested) jaxpr — the fused-path analogue of the dot_general taint walk
+    in test_halo_overlap_independence."""
+    tainted = set() if tainted is None else tainted
+
+    def is_tainted(v, t):
+        return getattr(v, "count", None) is not None and v in t
+
+    def walk(jxp, t):
+        for eqn in jxp.eqns:
+            t_in = any(is_tainted(v, t) for v in eqn.invars)
+            t_out = t_in
+            if eqn.primitive.name == "pallas_call":
+                dims = frozenset(v.aval.shape[0] for v in eqn.invars
+                                 if v.aval.shape)
+                out.append((eqn.params.get("name"), dims, t_in))
+            for v in eqn.params.values():
+                if not (hasattr(v, "jaxpr") or hasattr(v, "eqns")):
+                    continue
+                inner = v.jaxpr if hasattr(v, "jaxpr") else v
+                inner_t = set()
+                for iv, ov in zip(inner.invars, eqn.invars):
+                    if is_tainted(ov, t):
+                        inner_t.add(iv)
+                if walk(inner, inner_t):
+                    t_out = True
+            if eqn.primitive.name == "all_to_all":
+                t_out = True
+            if t_out:
+                t.update(v for v in eqn.outvars
+                         if getattr(v, "count", None) is not None)
+        return any(is_tainted(v, t) for v in jxp.outvars)
+
+    walk(jxp, tainted)
+    return out
+
+
+def test_fused_kernels_engage_under_edge_sharding():
+    """VERDICT r4 ask 1: the edge-sharded shard_map train step must run the
+    round-4 production kernels per cell — fused MH network (fwd AND custom
+    bwd), flat segment-attention PAIR (union softmax), CSR gather backward —
+    asserted on the step jaxpr, with the layer-0 local MH kernels
+    structurally independent of the boundary all_to_all (overlap), and the
+    step numerically matching the XLA-backend step."""
+    import optax
+    from cgat_tpu.ops import attention as att
+    cfg, model, params, stacked = _fused_mesh_setup()
+    tcfg = TrainerConfig(optim="AdamW", learning_rate=1e-3)
+    criterion = losses.make_loss("L1", False)
+    mesh = make_mesh(dp=2, edge=2)
+
+    results = {}
+    jaxpr = None
+    for backend in ("pallas", "xla"):
+        att.set_backend(backend)
+        try:
+            tx = make_optimizer(tcfg)
+            state = replicate(TrainState(step=jnp.zeros((), jnp.int32),
+                                         params=params,
+                                         opt_state=tx.init(params)), mesh)
+            pstep, shard = make_parallel_train_step(
+                model, tx, criterion, 0.0, 1.0, mesh, edge_sharded=True,
+                donate=False)
+            if backend == "pallas":
+                jaxpr = jax.make_jaxpr(pstep)(state, shard(stacked))
+            new_state, m = pstep(state, shard(stacked))
+            results[backend] = (jax.tree.map(
+                lambda x: np.asarray(x, np.float32), new_state.params),
+                float(m["loss"]))
+        finally:
+            att.set_backend("xla")
+
+    calls = _collect_pallas_calls(jaxpr.jaxpr, [])
+    names = {n for n, _d, _t in calls}
+    # every production kernel family engages inside the sharded step
+    for want in ("mh_net_fwd", "mh_net_bwd", "seg_attn_fwd", "seg_attn_bwd",
+                 "csr_segment_sum"):
+        assert want in names, (want, sorted(names))
+    # overlap: some local-block (cap=192 rows) MH forward kernels carry NO
+    # data dependence on the all_to_all (layer 0's gate+message nets)
+    clean_mh = [c for c in calls
+                if c[0] == "mh_net_fwd" and 192 in c[1] and not c[2]]
+    assert len(clean_mh) >= 2, calls
+    # sanity: something does consume the exchange
+    assert any(t for _n, _d, t in calls), "no kernel consumes the halo"
+
+    # numerics: fused vs XLA backend on the same sharded step (bf16 noise)
+    np.testing.assert_allclose(results["pallas"][1], results["xla"][1],
+                               rtol=2e-2)
+    for a, b in zip(jax.tree.leaves(results["pallas"][0]),
+                    jax.tree.leaves(results["xla"][0])):
+        np.testing.assert_allclose(a, b, rtol=5e-2, atol=5e-3)
+
+
+def test_fused_edge_sharded_matches_single_device():
+    """Same graphs, same params: the fused edge-sharded step's loss equals
+    the single-device (fused, unsharded) step's loss to bf16 tolerance."""
+    from cgat_tpu.ops import attention as att
+    cfg, model, params, stacked = _fused_mesh_setup()
+    tcfg = TrainerConfig(optim="AdamW", learning_rate=1e-3)
+    criterion = losses.make_loss("L1", False)
+    mesh = make_mesh(dp=2, edge=2)
+    att.set_backend("pallas")
+    try:
+        tx = make_optimizer(tcfg)
+        state = replicate(TrainState(step=jnp.zeros((), jnp.int32),
+                                     params=params,
+                                     opt_state=tx.init(params)), mesh)
+        pstep, shard = make_parallel_train_step(
+            model, tx, criterion, 0.0, 1.0, mesh, edge_sharded=True,
+            donate=False)
+        _, m = pstep(state, shard(stacked))
+
+        def loss_fn(p):
+            outs = [model.apply({"params": p},
+                                jax.tree.map(lambda x: x[d], stacked))
+                    for d in range(2)]
+            out = jnp.stack(outs)
+            return criterion(out[..., 0], out[..., 1], stacked.target,
+                             stacked.graph_mask)
+
+        want = float(loss_fn(params))
+    finally:
+        att.set_backend("xla")
+    np.testing.assert_allclose(float(m["loss"]), want, rtol=2e-2)
