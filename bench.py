@@ -369,9 +369,62 @@ def verify_production(tol_model: float = 2e-2, tol_op: float = 5e-2):
         den = float(np.linalg.norm(np.asarray(g_x, np.float32))) + 1e-30
         gather_errs.append(num / den)
 
+    # fused MultiHead-network kernel (fwd + FUSED custom-VJP backward) vs
+    # the einsum path at the flagship per-edge call-site shape — the
+    # headline's gradients flow through this kernel every step; its VMEM
+    # f32 dW accumulation across the sequential grid had no hardware
+    # certificate before round 5 (r4 verdict ask 2; interpret-mode tests
+    # prove nothing about Mosaic, CLAUDE.md landmine 5)
+    from cgat_tpu.ops.pallas.mh_network import mh_network
+    E = batch.edge_src.shape[0]
+    cat, hid, fdim_mh, heads = 384, 256, 128, 5
+    x_mh = jnp.asarray(rng.standard_normal((E, cat)), jnp.bfloat16)
+    w_in = jnp.asarray(rng.standard_normal((heads, hid, cat)) * 0.05,
+                       jnp.bfloat16)
+    b_in_mh = jnp.asarray(rng.standard_normal((heads, hid)) * 0.05,
+                          jnp.bfloat16)
+    w_out = jnp.asarray(rng.standard_normal((heads, fdim_mh, hid)) * 0.05,
+                        jnp.bfloat16)
+    b_out_mh = jnp.asarray(rng.standard_normal((heads, fdim_mh)) * 0.05,
+                           jnp.bfloat16)
+    win = w_in.transpose(2, 0, 1).reshape(cat, -1)
+    wout = w_out.transpose(0, 2, 1).reshape(-1, fdim_mh)
+
+    def mh_fused(xx, wi, bi, wo, bo):
+        return mh_network(xx, wi, bi, wo, bo, heads=heads, hid=hid,
+                          f=fdim_mh)
+
+    def mh_ref(xx, wi, bi, wo, bo):
+        # flat-form reference on the SAME arguments (same math as the
+        # blocks.py einsum path, differentiable wrt every input)
+        h = xx @ wi + bi
+        h = jnp.where(h > 0, h, 0.01 * h)
+        return jnp.concatenate(
+            [h[:, k * hid:(k + 1) * hid] @ wo[k * hid:(k + 1) * hid]
+             + bo[k * fdim_mh:(k + 1) * fdim_mh] for k in range(heads)],
+            axis=1)
+
+    mh_errs = []
+    vgs = []
+    for impl in (mh_fused, mh_ref):
+        vgs.append(jax.jit(jax.value_and_grad(
+            lambda xx, wi, bi, wo, bo, _i=impl: jnp.sum(
+                _i(xx, wi, bi, wo, bo).astype(jnp.float32) ** 2),
+            argnums=(0, 1, 2, 3, 4)))(
+                x_mh, win, b_in_mh.reshape(-1), wout, b_out_mh.reshape(-1)))
+    mh_errs.append(abs(float(vgs[0][0]) - float(vgs[1][0]))
+                   / (abs(float(vgs[1][0])) + 1e-30))
+    num = sum(float(np.linalg.norm(
+        np.asarray(a, np.float32) - np.asarray(b, np.float32)) ** 2)
+        for a, b in zip(vgs[0][1], vgs[1][1]))
+    den = sum(float(np.linalg.norm(np.asarray(b, np.float32)) ** 2)
+              for b in vgs[1][1])
+    mh_errs.append(float(np.sqrt(num / (den + 1e-30))))
+
     op_max = float(np.max(op_errs))
     hyper_max = float(np.max(hyper_errs))
     gather_max = float(np.max(gather_errs))
+    mh_max = float(np.max(mh_errs))
     return {
         "verify_bf16_ok": bool(model_err < tol_model and op_max < tol_op),
         "verify_bf16_model_rel_err": round(float(model_err), 6),
@@ -380,6 +433,8 @@ def verify_production(tol_model: float = 2e-2, tol_op: float = 5e-2):
         "verify_hyper_rel_err": round(hyper_max, 6),
         "verify_gather_ok": bool(gather_max < tol_op),
         "verify_gather_rel_err": round(gather_max, 6),
+        "verify_mh_ok": bool(mh_max < tol_op),
+        "verify_mh_rel_err": round(mh_max, 6),
     }
 
 
@@ -468,57 +523,135 @@ def serving_latency(n_calls: int = 30):
     return {"metric": "serving_latency", "platform": platform, **out}
 
 
-def previous_bench() -> dict | None:
-    """Latest BENCH_r*.json in the repo (the driver writes one per round)."""
+def all_benches() -> list:
+    """Every BENCH_r*.json in the repo, parsed, oldest first."""
     import glob
     import re
     here = os.path.dirname(os.path.abspath(__file__))
-    best = None
+    rounds = []
     for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
         m = re.search(r"BENCH_r(\d+)\.json$", path)
-        if m:
-            r = int(m.group(1))
-            if best is None or r > best[0]:
-                best = (r, path)
-    if best is None:
-        return None
-    try:
-        with open(best[1]) as f:
-            data = json.load(f)
-        prev = data.get("parsed", data)
-        prev["_round"] = best[0]
-        return prev
-    except Exception:
-        return None
+        if not m:
+            continue
+        try:
+            with open(path) as f:
+                data = json.load(f)
+            prev = data.get("parsed", data)
+            if not isinstance(prev, dict):
+                continue
+            prev["_round"] = int(m.group(1))
+            rounds.append(prev)
+        except Exception:
+            continue
+    return sorted(rounds, key=lambda r: r["_round"])
 
 
-def regression_deltas(result: dict, prev: dict | None) -> dict:
-    """vs_prev ratios for every reported series, flagging >5% regressions
-    (higher-is-better for throughputs/mfu; lower-is-better for kernel us).
-    The f32 anchor path slipped r02->r03 untracked — this makes any such
-    slip visible in the round artifact itself."""
-    if not prev:
+def previous_bench() -> dict | None:
+    """Latest BENCH_r*.json in the repo (the driver writes one per round)."""
+    rounds = all_benches()
+    return rounds[-1] if rounds else None
+
+
+_THROUGHPUT_KEYS = ("value", "edges_per_sec_f32", "edges_per_sec_b128",
+                    "edges_per_sec_dense", "mfu")
+
+
+def regression_deltas(result: dict, history: list) -> dict:
+    """vs_prev AND vs_best ratios for every reported series, flagging >5%
+    regressions (higher-is-better for throughputs/mfu; lower-is-better for
+    kernel us). vs_prev caught single-round slips; vs_best (max over ALL
+    prior rounds) additionally catches slow multi-round drift — the f32
+    anchor lost 5.7% over rounds 2-4 at 4.8%/round and vs_prev alone never
+    flagged it (r4 verdict weak 2)."""
+    if not history:
         return {}
-    ratios = {}
-    regressions = []
-    for key in ("value", "edges_per_sec_f32", "edges_per_sec_b128",
-                "edges_per_sec_dense", "mfu"):
-        a, b = result.get(key), prev.get(key)
-        if isinstance(a, (int, float)) and isinstance(b, (int, float)) and b:
-            r = a / b
-            ratios[key] = round(r, 4)
+    prev = history[-1]
+
+    def series(rec, key):
+        if key.startswith("roofline_"):
+            k = key[len("roofline_"):-3]
+            v = (rec.get("roofline") or {}).get(k, {}).get("us")
+            return v if isinstance(v, (int, float)) else None
+        if key.startswith("step_us_"):
+            v = (rec.get("step_kernels") or {}).get(key[len("step_us_"):])
+            return v if isinstance(v, (int, float)) else None
+        v = rec.get(key)
+        return v if isinstance(v, (int, float)) else None
+
+    lower_better = [f"roofline_{k}_us" for k in ("fwd", "bwd")]
+    lower_better += [f"step_us_{k}" for k in
+                     (result.get("step_kernels") or {})]
+    out_prev, out_best = {}, {}
+    reg_prev, reg_best = [], []
+    for key in list(_THROUGHPUT_KEYS) + lower_better:
+        lb = key in lower_better
+        a = series(result, key)
+        if a is None or not a:
+            continue
+        b = series(prev, key)
+        if b:
+            r = (b / a) if lb else (a / b)
+            out_prev[key] = round(r, 4)
             if r < 0.95:
-                regressions.append(key)
-    for k in ("fwd", "bwd"):
-        a = (result.get("roofline") or {}).get(k, {}).get("us")
-        b = (prev.get("roofline") or {}).get(k, {}).get("us")
-        if isinstance(a, (int, float)) and isinstance(b, (int, float)) and a:
-            r = b / a  # higher = faster now
-            ratios[f"roofline_{k}_us"] = round(r, 4)
+                reg_prev.append(key)
+        hist = [series(h, key) for h in history]
+        hist = [v for v in hist if v]
+        if hist:
+            best = min(hist) if lb else max(hist)
+            r = (best / a) if lb else (a / best)
+            out_best[key] = round(r, 4)
             if r < 0.95:
-                regressions.append(f"roofline_{k}_us")
-    return {"vs_prev": {"round": prev.get("_round"), **ratios},
-            **({"regressions_vs_prev": regressions} if regressions else {})}
+                reg_best.append(key)
+    return {"vs_prev": {"round": prev.get("_round"), **out_prev},
+            "vs_best": out_best,
+            **({"regressions_vs_prev": reg_prev} if reg_prev else {}),
+            **({"regressions_vs_best": reg_best} if reg_best else {})}
+
+
+def step_kernel_times(iters: int = 8) -> dict:
+    """In-step per-kernel device time (us/step) of the headline train step,
+    from a jax.profiler trace — the isolated roofline numbers miss in-step
+    regressions (seg_attn_bwd ran 41.5 us isolated but 63 us in-step in
+    round 4 and no tracked series saw it; r4 verdict weak 1). Also returns
+    the step_trace category buckets (ms/step)."""
+    import tempfile
+
+    import jax as _jax
+
+    from tools.step_trace import leaf_ops
+
+    step, state, batch, _n, _f = build(64, "bfloat16", steps_per_dispatch=1)
+    state, m = step(state, batch)
+    _ = float(m["loss"])  # compile + sync
+    td = tempfile.mkdtemp(prefix="bench_steptrace_")
+    _jax.profiler.start_trace(td)
+    for _ in range(iters):
+        state, m = step(state, batch)
+    _ = float(m["loss"])
+    _jax.profiler.stop_trace()
+    events = leaf_ops(td)
+
+    kernels = ("seg_attn_fwd", "seg_attn_bwd", "mh_net_fwd", "mh_net_bwd",
+               "hyper_apply_fwd", "hyper_apply_bwd_dhdx",
+               "hyper_apply_bwd_dk", "csr_segment_sum")
+    per_kernel = {k: 0.0 for k in kernels}
+    calls = {k: 0 for k in kernels}
+    cats = {}
+    leaf_total = 0.0
+    for name, cat, us, cnt, _b, _fl, _ln in events:
+        leaf_total += us / iters
+        cats[cat] = cats.get(cat, 0.0) + us / iters
+        for k in kernels:
+            if k in name:
+                per_kernel[k] += us / iters
+                calls[k] += cnt / iters
+                break
+    out = {k: round(v, 1) for k, v in per_kernel.items() if v}
+    out["calls_per_step"] = {k: round(v, 1) for k, v in calls.items() if v}
+    out["leaf_total_ms"] = round(leaf_total / 1e3, 3)
+    out["categories_ms"] = {k: round(v / 1e3, 3) for k, v in
+                            sorted(cats.items(), key=lambda kv: -kv[1])}
+    return out
 
 
 def main():
@@ -562,14 +695,19 @@ def main():
     except Exception as e:
         verify["verify_bf16_ok"] = f"error: {type(e).__name__}"
     roofline = None
+    accts = {}
     try:
         from cgat_tpu.utils.roofline import measure_kernels
         rk = measure_kernels(iters=20, trials=2)
+        accts.update({"fwd": rk["fwd"], "bwd": rk["bwd"]})
+        # the production kernels run their contractions in bf16 (the bf16
+        # compute mode), so the bf16 MXU fraction is the honest one; the
+        # r4 report used the f32-HIGHEST multiplier and read 3x "of peak"
         roofline = {
             k: {"us": round(rk[k]["seconds"] * 1e6, 1),
                 "gb_per_s": rk[k]["dma_gb_per_s"],
                 "hbm_frac": rk[k]["hbm_fraction"],
-                "mxu_frac_f32": rk[k]["mxu_fraction_f32_highest"],
+                "mxu_frac_bf16": rk[k]["mxu_fraction_bf16_peak"],
                 "bound": rk[k]["bound"]}
             for k in ("fwd", "bwd")}
     except Exception:
@@ -578,6 +716,7 @@ def main():
         from cgat_tpu.utils.roofline import measure_hyper_kernels
         hk = measure_hyper_kernels(iters=20)
         roofline = roofline or {}
+        accts.update({"hyper_fwd": hk["fwd"], "hyper_bwd": hk["bwd"]})
         for k in ("fwd", "bwd"):
             roofline[f"hyper_{k}"] = {
                 "us": round(hk[k]["seconds"] * 1e6, 1),
@@ -587,6 +726,51 @@ def main():
                 "bound": hk[k]["bound"]}
     except Exception:
         pass
+    try:
+        from cgat_tpu.utils.roofline import measure_mh_kernels
+        mk_ = measure_mh_kernels(iters=20)
+        roofline = roofline or {}
+        accts.update({"mh_fwd": mk_["fwd"], "mh_bwd": mk_["bwd"]})
+        for k in ("fwd", "bwd"):
+            roofline[f"mh_{k}"] = {
+                "us": round(mk_[k]["seconds"] * 1e6, 1),
+                "gb_per_s": mk_[k]["dma_gb_per_s"],
+                "hbm_frac": mk_[k]["hbm_fraction"],
+                "mxu_frac_bf16": mk_[k]["mxu_fraction_bf16_peak"],
+                "bound": mk_[k]["bound"]}
+    except Exception:
+        pass
+    # in-step per-kernel timing (catches in-step-only regressions the
+    # isolated roofline misses, r4 verdict weak 1)
+    step_kernels = None
+    try:
+        step_kernels = step_kernel_times(iters=8)
+    except Exception:
+        pass
+    # in-step roofline fractions: the isolated steady-state chain can keep
+    # intermediates VMEM-resident and read above the HBM roofline; the
+    # in-step per-call time is the production-context denominator
+    if step_kernels and roofline:
+        cps = step_kernels.get("calls_per_step", {})
+        groups = {"fwd": ("seg_attn_fwd",), "bwd": ("seg_attn_bwd",),
+                  "mh_fwd": ("mh_net_fwd",), "mh_bwd": ("mh_net_bwd",),
+                  "hyper_fwd": ("hyper_apply_fwd",),
+                  "hyper_bwd": ("hyper_apply_bwd_dhdx",
+                                "hyper_apply_bwd_dk")}
+        for key, names in groups.items():
+            acct = accts.get(key)
+            entry = roofline.get(key)
+            tot = sum(step_kernels.get(n, 0.0) for n in names)
+            n_calls = cps.get(names[0], 0.0)
+            if not (acct and entry and tot and n_calls):
+                continue
+            t = tot / n_calls / 1e6
+            bytes_hbm = acct.get("dma_bytes_hbm", acct["dma_bytes"])
+            entry["us_in_step"] = round(t * 1e6, 1)
+            entry["hbm_frac_in_step"] = round(
+                bytes_hbm / t / 819e9, 3)
+            entry["mxu_frac_in_step"] = round(
+                acct["mxu_flops"] / t / V5E_PEAK_FLOPS, 3)
 
     # the tunnel's dispatch RTT drifts over minutes, swinging per-process
     # readings ~15%; re-measure the headline config at the end and keep the
@@ -617,9 +801,10 @@ def main():
         "flops_per_step": r64["flops_per_step"],
         **verify,
         **({"roofline": roofline} if roofline else {}),
+        **({"step_kernels": step_kernels} if step_kernels else {}),
     }
     try:
-        result.update(regression_deltas(result, previous_bench()))
+        result.update(regression_deltas(result, all_benches()))
     except Exception:
         pass
     print(json.dumps(result))

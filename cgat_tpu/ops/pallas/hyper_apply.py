@@ -374,5 +374,6 @@ def hyper_apply(hidden, kernel, bias, x, *, out_ch: int,
     Returns (B, out_ch) in ``hidden.dtype``.
     """
     if interpret is None:
-        interpret = INTERPRET or jax.default_backend() != "tpu"
+        from .config import interpret_default
+        interpret = INTERPRET or interpret_default()
     return _hyper_apply(hidden, kernel, bias, x, out_ch, interpret)

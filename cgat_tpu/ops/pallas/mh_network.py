@@ -60,14 +60,20 @@ def _block_rows(e_tot: int, max_block: int = MAX_BLOCK) -> int | None:
     return None
 
 
-def _fwd_kernel(x_ref, win_ref, bin_ref, wout_ref, bout_ref, out_ref, h_ref,
-                *, heads, hid, f):
+def _fwd_kernel(x_ref, win_ref, bin_ref, wout_ref, bout_ref, out_ref,
+                *maybe_h_ref, heads, hid, f):
+    """Forward kernel; with a trailing ``h_ref`` output it also saves the
+    flat post-activation for the VJP. The primal (inference/serving) path
+    runs WITHOUT it — the (E, H*hid) write only exists to serve the
+    backward, and XLA cannot DCE a pallas output (~10 x 21.6 MB per
+    flagship forward; r4 advisor finding)."""
     xv = x_ref[...]
     p = jax.lax.dot_general(xv, win_ref[...], (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32)
     p = p + bin_ref[...].astype(jnp.float32)
     h = jnp.where(p > 0, p, LEAKY_SLOPE * p).astype(xv.dtype)  # (BE, H*hid)
-    h_ref[...] = h
+    if maybe_h_ref:
+        maybe_h_ref[0][...] = h
     parts = []
     for k in range(heads):
         o = jax.lax.dot_general(
@@ -124,17 +130,26 @@ def _bwd_kernel(x_ref, h_ref, g_ref, win_ref, wout_ref, dx_ref,
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
 def _mh_fused(x, win, bin_, wout, bout, dims, interpret):
-    out, _h = _fwd_impl(x, win, bin_, wout, bout, dims, interpret)
+    # primal path (inference/serving/export): no saved-activation output
+    out, _ = _fwd_impl(x, win, bin_, wout, bout, dims, interpret,
+                       emit_h=False)
     return out
 
 
-def _fwd_impl(x, win, bin_, wout, bout, dims, interpret):
+def _fwd_impl(x, win, bin_, wout, bout, dims, interpret, emit_h=True):
     heads, hid, f = dims
     e_tot, cat = x.shape
     be = _block_rows(e_tot)
     assert be is not None, "caller gates on _block_rows"
     grid = (e_tot // be,)
-    out, h = pl.pallas_call(
+    out_specs = [pl.BlockSpec((be, heads * f), lambda j: (j, 0),
+                              memory_space=pltpu.VMEM)]
+    out_shape = [jax.ShapeDtypeStruct((e_tot, heads * f), x.dtype)]
+    if emit_h:
+        out_specs.append(pl.BlockSpec((be, heads * hid), lambda j: (j, 0),
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((e_tot, heads * hid), x.dtype))
+    res = pl.pallas_call(
         functools.partial(_fwd_kernel, heads=heads, hid=hid, f=f),
         grid=grid,
         in_specs=[
@@ -145,20 +160,12 @@ def _fwd_impl(x, win, bin_, wout, bout, dims, interpret):
             pl.BlockSpec(memory_space=pltpu.VMEM),      # Wout (H*hid, F)
             pl.BlockSpec(memory_space=pltpu.VMEM),      # b_out (1, H*F)
         ],
-        out_specs=[
-            pl.BlockSpec((be, heads * f), lambda j: (j, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((be, heads * hid), lambda j: (j, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((e_tot, heads * f), x.dtype),
-            jax.ShapeDtypeStruct((e_tot, heads * hid), x.dtype),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=interpret,
         name="mh_net_fwd",
     )(x, win, bin_.reshape(1, -1), wout, bout.reshape(1, -1))
-    return out, h
+    return (res[0], res[1]) if emit_h else (res[0], None)
 
 
 def _vjp_fwd(x, win, bin_, wout, bout, dims, interpret):
@@ -256,5 +263,6 @@ def mh_network(x, win, b_in, wout, b_out, *, heads: int, hid: int, f: int,
     Returns (E, H*F) flat, head-major — the attention kernels' layout.
     """
     if interpret is None:
-        interpret = INTERPRET or jax.default_backend() != "tpu"
+        from .config import interpret_default
+        interpret = INTERPRET or interpret_default()
     return _mh_fused(x, win, b_in, wout, b_out, (heads, hid, f), interpret)

@@ -556,7 +556,8 @@ def edge_softmax_aggregate_pair(alpha_l, m_l, dst_l, mask_l,
     (XLA path). Requirements per block: dst-sorted edges, False-suffix mask
     (the edge-sharded collate layout guarantees both per shard)."""
     if interpret is None:
-        interpret = INTERPRET or jax.default_backend() != "tpu"
+        from .config import interpret_default
+        interpret = INTERPRET or interpret_default()
     e_l, h, f = alpha_l.shape
     hf = h * f
     if f == 1 or hf % 128 != 0:
@@ -588,7 +589,8 @@ def edge_softmax_aggregate_pair_flat(alpha2_l, m2_l, dst_l, mask_l,
     block: dst-sorted edges, False-suffix mask (each shard_map cell's local
     view of the edge-sharded collate layout guarantees both)."""
     if interpret is None:
-        interpret = INTERPRET or jax.default_backend() != "tpu"
+        from .config import interpret_default
+        interpret = INTERPRET or interpret_default()
     e_l, hf = alpha2_l.shape
     assert hf % 128 == 0, "flat pair entry requires lane-multiple H*F"
     al, ml, dl, nl, be_l = _prep_flat(alpha2_l, m2_l, dst_l, mask_l,
@@ -611,7 +613,8 @@ def edge_softmax_aggregate_flat(alpha2, m2, edge_dst, num_nodes, *,
     no 3D round trip on either side. Same math as
     :func:`edge_softmax_aggregate` (columns are independent)."""
     if interpret is None:
-        interpret = INTERPRET or jax.default_backend() != "tpu"
+        from .config import interpret_default
+        interpret = INTERPRET or interpret_default()
     e_tot, hf = alpha2.shape
     assert hf % 128 == 0, "flat entry requires lane-multiple H*F"
     be = min(block_edges, e_tot)
@@ -646,7 +649,8 @@ def edge_softmax_aggregate(alpha, m, edge_dst, num_nodes, *, edge_mask=None,
     if interpret is None:
         # off-TPU (tests, dryruns on the virtual CPU mesh) the kernel runs in
         # the Pallas interpreter, so backend="pallas" is exercisable anywhere
-        interpret = INTERPRET or jax.default_backend() != "tpu"
+        from .config import interpret_default
+        interpret = INTERPRET or interpret_default()
     e_tot, h, f = alpha.shape
     hf = h * f
     if f == 1 or hf % 128 != 0:

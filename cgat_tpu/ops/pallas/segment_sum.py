@@ -116,7 +116,8 @@ def csr_segment_sum(vals, ids, num_segments: int, *, n_real=None,
     (must match ``ids``/``n_real``/``block_nodes``). Accumulation is f32;
     output in ``out_dtype`` (default ``vals.dtype``)."""
     if interpret is None:
-        interpret = INTERPRET or jax.default_backend() != "tpu"
+        from .config import interpret_default
+        interpret = INTERPRET or interpret_default()
     e_tot, f = vals.shape
     bn = block_nodes
     be = min(block_rows, -(-e_tot // 16) * 16)
