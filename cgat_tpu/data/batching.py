@@ -85,6 +85,20 @@ class CrystalBatch:
     # values in [0, cap)) — exactly what each shard_map cell needs for its
     # local gather backward; meaningless to index with globally.
     edge_src_perm: jnp.ndarray | None = None  # i32 (E,)
+    # Host-precomputed UNCLAMPED CSR row pointers (single-shard collates
+    # only): offn[k] = first position in the sorted id array with id >= k.
+    # The device consumers (the segment-attention wrapper and the gather
+    # plans) slice the prefix they need and clamp by the real-row count —
+    # removing every per-step ``jnp.searchsorted`` (three 14-iteration
+    # binary-search while-loops XLA cannot CSE away, ~0.5 ms/step at
+    # flagship dims, round-5 trace). Lengths carry OFFN_MARGIN slack past
+    # the segment count so any kernel block policy's backward window fits.
+    edge_dst_offn: jnp.ndarray | None = None    # i32 (N + margin + 1,)
+    edge_src_offn: jnp.ndarray | None = None    # i32 (N + margin + 1,)
+    # edge_src pre-sorted ascending (== edge_src[edge_src_perm]; saves the
+    # per-step gather that builds it on device)
+    edge_src_sorted: jnp.ndarray | None = None  # i32 (E,)
+    node2graph_offn: jnp.ndarray | None = None  # i32 (C + margin + 1,)
 
     @property
     def num_node_slots(self) -> int:
@@ -119,6 +133,24 @@ class CrystalGraph:
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
+
+
+# slack past the segment count in host-precomputed CSR pointer arrays: must
+# cover the widest backward gather window any kernel block policy can ask
+# for (<= BLOCK_EDGES 768 + alignment 16) plus the 128-lane node-block
+# round-up of the forward grid
+OFFN_MARGIN = 1024
+
+
+def host_offsets(sorted_ids: np.ndarray, n_hi: int) -> np.ndarray:
+    """Unclamped CSR row pointers of a sorted id array, computed host-side:
+    ``off[k] = searchsorted(sorted_ids, k)`` for k in [0, n_hi]. Matches
+    the device ``_node_offsets`` (ops/pallas/segment_attention.py) after
+    the consumer clamps entries to its real-row count."""
+    off = np.zeros((n_hi + 1,), np.int32)
+    off[1:] = np.searchsorted(sorted_ids, np.arange(1, n_hi + 1),
+                              side="left").astype(np.int32)
+    return off
 
 
 def pad_to_bucket(n: int, multiple: int = 64) -> int:
@@ -404,6 +436,24 @@ def collate(graphs: Sequence[CrystalGraph],
         edge_shell[:e] = shell
         edge_mask[:e] = True
 
+    if halo:
+        src_perm_full = src_perm
+        offsets = {}
+    else:
+        src_perm_full = np.argsort(edge_src, kind="stable").astype(np.int32)
+        # host-precomputed CSR pointers for the step's segment ops (see the
+        # CrystalBatch field docs); single-shard layouts only — the sorted
+        # arrays here are globally dst/src-sorted with a strict False-suffix
+        src_sorted = edge_src[src_perm_full]
+        offsets = dict(
+            edge_dst_offn=jnp.asarray(
+                host_offsets(edge_dst, N + OFFN_MARGIN)),
+            edge_src_offn=jnp.asarray(
+                host_offsets(src_sorted, N + OFFN_MARGIN)),
+            edge_src_sorted=jnp.asarray(src_sorted),
+            node2graph_offn=jnp.asarray(
+                host_offsets(node2graph, C + OFFN_MARGIN)))
+
     collate.last_counts = {"edges": int(e), "graphs": len(graphs),
                            "nodes": int(n_real_nodes)}
     return CrystalBatch(
@@ -414,9 +464,8 @@ def collate(graphs: Sequence[CrystalGraph],
         edge_dst=jnp.asarray(edge_dst),
         edge_shell=jnp.asarray(edge_shell),
         edge_mask=jnp.asarray(edge_mask),
-        edge_src_perm=jnp.asarray(
-            src_perm if halo else
-            np.argsort(edge_src, kind="stable").astype(np.int32)),
+        edge_src_perm=jnp.asarray(src_perm_full),
+        **offsets,
         comp_fea=jnp.asarray(comp_fea),
         comp_weight=jnp.asarray(comp_weight),
         comp_mask=jnp.asarray(comp_mask),

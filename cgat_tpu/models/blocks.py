@@ -60,6 +60,25 @@ class TorchLinear(nn.Module):
         return y
 
 
+class MatmulEmbed(nn.Module):
+    """Drop-in ``nn.Embed`` (same param name/shape/init, so checkpoints and
+    host_init line up) whose lookup backward runs as a one-hot MXU matmul
+    (ops/gather.py ``embed_lookup``) instead of the serialized XLA
+    scatter-add — ~60 us/step at flagship dims for the (25, 128)
+    neighbor-shell table (reference analog: ``nbr_embedding``,
+    CGAT/CGAT.py:364)."""
+    num_embeddings: int
+    features: int
+    embedding_init: nn.initializers.Initializer = nn.initializers.normal(1.0)
+
+    @nn.compact
+    def __call__(self, ids):
+        from ..ops.gather import embed_lookup
+        table = self.param("embedding", self.embedding_init,
+                           (self.num_embeddings, self.features))
+        return embed_lookup(table, ids)
+
+
 class SimpleNetwork(nn.Module):
     """LeakyReLU MLP (reference message_changed.py:31-66)."""
     output_dim: int

@@ -114,7 +114,7 @@ class GATConvNodes(nn.Module):
     @nn.compact
     def __call__(self, x, edge_src, edge_dst, edge_attr, x_0, edge_mask,
                  *, deterministic=True, halo=None, src_perm=None,
-                 gather_plans=None):
+                 gather_plans=None, dst_offn=None):
         """Edge-sharded mode (``halo`` is not None — inside a ``shard_map``
         over an edge axis, or a single-device view of the same layout):
         ``x``/``x_0`` are the LOCAL node slice, the primary edge args the
@@ -197,7 +197,7 @@ class GATConvNodes(nn.Module):
                 if halo is None:
                     aggr2 = edge_softmax_aggregate_flat(
                         alpha2, m2, dst_l, num_nodes,
-                        edge_mask=edge_mask)              # (N, H*F)
+                        edge_mask=edge_mask, offn=dst_offn)  # (N, H*F)
                 else:
                     src_h, dst_h, attr_h, mask_h, table_h = halo
                     m_cat_h = jnp.concatenate(
@@ -253,7 +253,7 @@ class GATConvNodes(nn.Module):
             aggr = segment_sum(weighted, dst_l, num_nodes)
         else:
             aggr = edge_softmax_aggregate(alpha, m, dst_l, num_nodes,
-                                          edge_mask=edge_mask)
+                                          edge_mask=edge_mask, offn=dst_offn)
         aggr = aggr.mean(axis=1)                    # (N, out)  CGAT.py:329
         if self.final:
             return aggr
@@ -336,18 +336,22 @@ class MHAttention(nn.Module):
 
     @nn.compact
     def __call__(self, fea, cry_fea, node2graph, node_mask, num_graphs,
-                 *, axis_name=None):
+                 *, axis_name=None, offn=None, gplan=None):
         """``axis_name``: mesh axis the atoms are sharded over (edge
         partitioning). Each cell pools only its LOCAL atoms; the per-crystal
         softmax is completed with small (C, H, F) collectives — max via
         all_gather+max (differentiable), numerator/denominator via psum —
         instead of all-gathering the (N, F) node features and replicating
-        the pooling work on every cell."""
+        the pooling work on every cell. ``offn``/``gplan``: host-precomputed
+        CSR pointers over ``node2graph`` and the matching gather plan
+        (single-device path only)."""
         m = MultiHeadNetwork(self.in_channels, self.out_channels,
                              self.in_channels, self.heads, dtype=self.dtype,
                              name="MH_M")(fea)
         cat = jnp.concatenate(
-            [fea, gather_rows(cry_fea, node2graph, ids_sorted=True)], axis=-1)
+            [fea, gather_rows(cry_fea, node2graph, ids_sorted=True,
+                              plan=gplan if axis_name is None else None)],
+            axis=-1)
         alpha = MultiHeadNetwork(
             2 * self.in_channels,
             self.out_channels if self.vector_attention else 1,
@@ -357,7 +361,7 @@ class MHAttention(nn.Module):
             # same fused segment-softmax-aggregate as message passing (atoms
             # -> crystals instead of edges -> nodes); node2graph is sorted
             agg = edge_softmax_aggregate(alpha, m, node2graph, num_graphs,
-                                         edge_mask=node_mask)
+                                         edge_mask=node_mask, offn=offn)
             return agg.reshape(-1, self.heads * self.out_channels)
         from ..ops.segment import NEG_BIG, SOFTMAX_EPS, segment_max
         masked = jnp.where(node_mask[:, None, None], alpha, NEG_BIG)
@@ -436,16 +440,27 @@ class CGAtNet(nn.Module):
         # searchsorted is a device while-loop XLA does not CSE; 5 layers x
         # 2 gathers re-ran it 10x — round-4 trace)
         gather_plans = None
+        pool_plan = None
         from ..ops import attention as _att_backend
         if (_att_backend.get_backend() == "pallas"
                 and batch.edge_src_perm is not None):
             from ..ops.gather import GatherPlan
             n_slots = batch.nodes.shape[0]
             if not halo_mode:
+                # single-shard collates additionally ship host-precomputed
+                # sorted src ids + unclamped CSR pointers, so no per-step
+                # device argsort-gather or searchsorted remains
                 gather_plans = (
-                    GatherPlan.build(batch.edge_dst, n_slots),
+                    GatherPlan.build(batch.edge_dst, n_slots,
+                                     offn=batch.edge_dst_offn),
                     GatherPlan.build(batch.edge_src, n_slots,
-                                     perm=batch.edge_src_perm))
+                                     perm=batch.edge_src_perm,
+                                     sidx=batch.edge_src_sorted,
+                                     offn=batch.edge_src_offn))
+                if edge_axis is None:
+                    pool_plan = GatherPlan.build(
+                        batch.node2graph, batch.num_graphs,
+                        offn=batch.node2graph_offn)
             elif edge_axis is not None:
                 # inside a shard_map cell: LOCAL indices against the local
                 # node slice; the edge-sharded collate's per-shard perm
@@ -458,9 +473,11 @@ class CGAtNet(nn.Module):
                                      perm=batch.edge_src_perm),
                     GatherPlan.build(dst_h, n_slots))
 
-        nbr_embed = nn.Embed(cfg.neighbor_number + 1, cfg.nbr_embedding_size,
-                             embedding_init=nn.initializers.normal(1.0),
-                             name="nbr_embedding")
+        from .blocks import MatmulEmbed
+        nbr_embed = MatmulEmbed(cfg.neighbor_number + 1,
+                                cfg.nbr_embedding_size,
+                                embedding_init=nn.initializers.normal(1.0),
+                                name="nbr_embedding")
         edge_attr = jnp.asarray(nbr_embed(batch.edge_shell), dt)
         elem_fea = TorchLinear(cfg.elem_fea_len, use_bias=False, dtype=dt,
                                name="embedding")(jnp.asarray(batch.nodes, dt))
@@ -505,7 +522,8 @@ class CGAtNet(nn.Module):
                 elem_fea, src_idx, dst_idx, edge_attr,
                 elem_fea_0, batch.edge_mask, deterministic=deterministic,
                 halo=halo_n, src_perm=batch.edge_src_perm,
-                gather_plans=gather_plans)
+                gather_plans=gather_plans,
+                dst_offn=None if halo_mode else batch.edge_dst_offn)
             if cfg.update_edges:
                 el = edge_layer(i)
                 edge_attr = edge_attr + el(
@@ -536,7 +554,9 @@ class CGAtNet(nn.Module):
                                vector_attention=cfg.global_vector_attention,
                                dtype=dt, name="cry_pool")(
             elem_fea, crys_fea, batch.node2graph, batch.node_mask,
-            batch.num_graphs, axis_name=edge_axis)
+            batch.num_graphs, axis_name=edge_axis,
+            offn=None if halo_mode else batch.node2graph_offn,
+            gplan=pool_plan)
 
         if cfg.mean_pooling:
             crys_fea = crys_fea.reshape(-1, cfg.msg_heads,

@@ -31,7 +31,7 @@ def get_backend() -> str:
 
 
 def edge_softmax_aggregate(alpha, m, edge_dst, num_nodes, *, edge_mask=None,
-                           backend=None):
+                           offn=None, backend=None):
     """softmax(alpha over dst-segments) * m, scatter-added to nodes.
 
     Equivalent to the reference's ``softmax(alpha, edge_index_i)`` followed by
@@ -43,6 +43,8 @@ def edge_softmax_aggregate(alpha, m, edge_dst, num_nodes, *, edge_mask=None,
       edge_dst: (E,) int32 destination node per edge, sorted ascending.
       num_nodes: static number of node slots.
       edge_mask: (E,) bool validity; padded edges contribute nothing.
+      offn: optional host-precomputed unclamped CSR pointers over
+        ``edge_dst`` (Pallas path only; ignored by the XLA path).
 
     Returns:
       (num_nodes, H, F) aggregated messages.
@@ -50,7 +52,8 @@ def edge_softmax_aggregate(alpha, m, edge_dst, num_nodes, *, edge_mask=None,
     backend = backend or _BACKEND
     if backend == "pallas":
         from .pallas import edge_softmax_aggregate as _pallas_impl
-        return _pallas_impl(alpha, m, edge_dst, num_nodes, edge_mask=edge_mask)
+        return _pallas_impl(alpha, m, edge_dst, num_nodes, edge_mask=edge_mask,
+                            offn=offn)
     weights = seg.segment_softmax(alpha, edge_dst, num_nodes, mask=edge_mask)
     weighted = weights * m
     if edge_mask is not None:

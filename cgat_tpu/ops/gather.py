@@ -42,14 +42,26 @@ class GatherPlan:
     offn: jnp.ndarray
 
     @staticmethod
-    def build(idx, num_segments: int, *, perm=None, n_real=None):
-        from .pallas.segment_sum import plan_offsets
+    def build(idx, num_segments: int, *, perm=None, n_real=None,
+              sidx=None, offn=None):
+        """``sidx``/``offn``: host-precomputed sorted ids and UNCLAMPED CSR
+        pointers (``CrystalBatch.edge_src_sorted`` / ``*_offn``) — skips
+        the per-step device sort-gather and searchsorted while-loop. offn
+        may be longer than needed; the required prefix is sliced here.
+        Unclamped equals :func:`plan_offsets`'s default nr=len(ids) clamp
+        because every pointer is <= len(ids) by construction."""
+        from .pallas.segment_sum import BLOCK_NODES, plan_offsets
         idx = idx.astype(jnp.int32)
-        if perm is None:
-            sidx, inv = idx, None
+        inv = None if perm is None else perm.astype(jnp.int32)
+        if sidx is None:
+            sidx = idx if inv is None else jnp.take(idx, inv)
         else:
-            inv = perm.astype(jnp.int32)
-            sidx = jnp.take(idx, inv)
+            sidx = sidx.astype(jnp.int32)
+        if offn is not None and n_real is None:
+            n_pad = -(-num_segments // BLOCK_NODES) * BLOCK_NODES
+            if offn.shape[0] >= n_pad + 1:
+                return GatherPlan(sidx, inv,
+                                  offn[:n_pad + 1].astype(jnp.int32))
         return GatherPlan(sidx, inv,
                           plan_offsets(sidx, num_segments, n_real=n_real))
 
@@ -84,6 +96,41 @@ def _gather_bwd(res, g):
 
 
 _gather_csr.defvjp(_gather_fwd, _gather_bwd)
+
+
+@jax.custom_vjp
+def embed_lookup(table, ids):
+    """``table[ids]`` for a SMALL embedding table whose BACKWARD is a
+    one-hot matmul instead of an XLA scatter-add.
+
+    The autodiff transpose of a table gather is a scatter-add that XLA
+    serializes per row — ~60 us for the (8448,) shell-index lookup into the
+    (25, 128) neighbor-embedding table (round-5 step trace; reference
+    analog: the ``nbr_embedding`` backward, CGAT/CGAT.py:364,566). With a
+    table this small the same sum is one (T, E) x (E, F) MXU matmul against
+    the one-hot membership matrix — microseconds, and f32-accumulated
+    (the XLA scatter accumulates in the gradient dtype). Unsorted ids are
+    fine; no CSR needed."""
+    return table[ids]
+
+
+def _embed_fwd(table, ids):
+    # zero-size proxy keeps the primal's shape[0]/dtype in the residuals
+    # without holding the table itself
+    return table[ids], (ids, jnp.zeros((table.shape[0], 0), table.dtype))
+
+
+def _embed_bwd(res, g):
+    ids, proxy = res
+    t = proxy.shape[0]
+    oh = (ids[:, None] == jnp.arange(t, dtype=ids.dtype)[None, :])
+    dt = jax.lax.dot_general(
+        oh.astype(g.dtype), g, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    return dt.astype(proxy.dtype), None
+
+
+embed_lookup.defvjp(_embed_fwd, _embed_bwd)
 
 
 def gather_rows(table, idx, *, perm=None, ids_sorted=False, plan=None):

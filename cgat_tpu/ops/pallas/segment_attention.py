@@ -264,15 +264,15 @@ def _node_offsets(edge_dst, n_real, n_hi):
     return jnp.concatenate([jnp.zeros((1,), jnp.int32), off])
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
-def _edge_softmax_aggregate(alpha2, m2, dst2, n_real, num_nodes, bn, be,
-                            interpret):
-    out, _, _, _ = _fwd_impl(alpha2, m2, dst2, n_real, num_nodes, bn, be,
-                             interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def _edge_softmax_aggregate(alpha2, m2, dst2, hoffn, n_real, num_nodes, bn,
+                            be, interpret):
+    out, _, _, _ = _fwd_impl(alpha2, m2, dst2, hoffn, n_real, num_nodes, bn,
+                             be, interpret)
     return out
 
 
-def _fwd_impl(alpha2, m2, dst2, n_real, num_nodes, bn, be, interpret):
+def _fwd_impl(alpha2, m2, dst2, hoffn, n_real, num_nodes, bn, be, interpret):
     e_tot, hf = alpha2.shape
     nblocks = -(-num_nodes // bn)
     n_pad = nblocks * bn
@@ -281,7 +281,14 @@ def _fwd_impl(alpha2, m2, dst2, n_real, num_nodes, bn, be, interpret):
     # span), so the backward reuses it from the residuals instead of
     # re-running the searchsorted (wrapper cost, roofline.py)
     n_hi = max(n_pad, num_nodes + _bwd_block(e_tot, be) + 16)
-    offn = _node_offsets(dst2[:, 0], n_real, n_hi)            # (n_hi + 1,)
+    if hoffn.shape[0] >= n_hi + 1:
+        # host-precomputed UNCLAMPED pointers (the collate ships them with
+        # the batch): identical to the device searchsorted after clamping
+        # to the real edge count — kills the 14-iteration binary-search
+        # while-loop per step (~0.16 ms at flagship dims, round-5 trace)
+        offn = jnp.minimum(hoffn[:n_hi + 1].astype(jnp.int32), n_real)
+    else:
+        offn = _node_offsets(dst2[:, 0], n_real, n_hi)        # (n_hi + 1,)
     # the per-block scalar-prefetch offsets are its every-bn-th entries,
     # and the lo/hi one-hot bounds are bn-wide rows
     offsets = offn[:n_pad + 1:bn]                             # (nblocks + 1,)
@@ -323,9 +330,9 @@ def _fwd_impl(alpha2, m2, dst2, n_real, num_nodes, bn, be, interpret):
     return out[:num_nodes], maxv[:num_nodes], den[:num_nodes], offn
 
 
-def _vjp_fwd(alpha2, m2, dst2, n_real, num_nodes, bn, be, interpret):
-    out, maxv, den, offn = _fwd_impl(alpha2, m2, dst2, n_real, num_nodes,
-                                     bn, be, interpret)
+def _vjp_fwd(alpha2, m2, dst2, hoffn, n_real, num_nodes, bn, be, interpret):
+    out, maxv, den, offn = _fwd_impl(alpha2, m2, dst2, hoffn, n_real,
+                                     num_nodes, bn, be, interpret)
     return out, (alpha2, m2, dst2, n_real, maxv, den, out, offn)
 
 
@@ -335,7 +342,7 @@ def _vjp_bwd(num_nodes, bn, be, interpret, res, g):
     # _bwd_call): q = g / (den + eps)
     dalpha, dm = _bwd_call(alpha2, m2, dst2, n_real, g / (den + EPS), maxv,
                            out, offn, num_nodes, be, interpret)
-    return dalpha, dm, None, None
+    return dalpha, dm, None, None, None
 
 
 def _bwd_call(alpha2, m2, dst2, n_real, q, maxv, out, offn, num_nodes, be,
@@ -468,10 +475,11 @@ _edge_softmax_aggregate.defvjp(_vjp_fwd, _vjp_bwd)
 
 def _pair_fwd_impl(al, ml, dl, nl, ah, mh_, dh, nh, num_nodes, bn, be_l,
                    be_h, interpret):
-    out_l, max_l, den_l, offn_l = _fwd_impl(al, ml, dl, nl, num_nodes, bn,
-                                            be_l, interpret)
-    out_h, max_h, den_h, offn_h = _fwd_impl(ah, mh_, dh, nh, num_nodes, bn,
-                                            be_h, interpret)
+    no_hoffn = jnp.zeros((0,), jnp.int32)
+    out_l, max_l, den_l, offn_l = _fwd_impl(al, ml, dl, no_hoffn, nl,
+                                            num_nodes, bn, be_l, interpret)
+    out_h, max_h, den_h, offn_h = _fwd_impl(ah, mh_, dh, no_hoffn, nh,
+                                            num_nodes, bn, be_h, interpret)
     gmax = jnp.maximum(max_l, max_h)
     sl = jnp.exp(max_l - gmax)
     sh = jnp.exp(max_h - gmax)
@@ -604,14 +612,18 @@ def edge_softmax_aggregate_pair_flat(alpha2_l, m2_l, dst_l, mask_l,
 
 
 def edge_softmax_aggregate_flat(alpha2, m2, edge_dst, num_nodes, *,
-                                edge_mask=None,
+                                edge_mask=None, offn=None,
                                 block_nodes: int = BLOCK_NODES,
                                 block_edges: int = BLOCK_EDGES,
                                 interpret: bool | None = None):
     """2D entry: ``alpha2``/``m2`` are (E, H*F) head-major flat (the fused
     MH-network kernel's output layout) and the result stays (N, H*F) flat —
     no 3D round trip on either side. Same math as
-    :func:`edge_softmax_aggregate` (columns are independent)."""
+    :func:`edge_softmax_aggregate` (columns are independent).
+
+    ``offn``: optional host-precomputed UNCLAMPED CSR pointers over
+    ``edge_dst`` (``CrystalBatch.edge_dst_offn``); replaces the per-step
+    device searchsorted when long enough."""
     if interpret is None:
         from .config import interpret_default
         interpret = INTERPRET or interpret_default()
@@ -630,12 +642,15 @@ def edge_softmax_aggregate_flat(alpha2, m2, edge_dst, num_nodes, *,
         m2 = jnp.pad(m2, ((0, extra), (0, 0)))
         dst2 = jnp.pad(dst2, ((0, extra), (0, 0)),
                        constant_values=num_nodes - 1)
-    out = _edge_softmax_aggregate(alpha2, m2, dst2, n_real, num_nodes,
+    hoffn = (offn.astype(jnp.int32) if offn is not None
+             else jnp.zeros((0,), jnp.int32))
+    out = _edge_softmax_aggregate(alpha2, m2, dst2, hoffn, n_real, num_nodes,
                                   block_nodes, be, interpret)
     return out.astype(keep)
 
 
 def edge_softmax_aggregate(alpha, m, edge_dst, num_nodes, *, edge_mask=None,
+                           offn=None,
                            block_nodes: int = BLOCK_NODES,
                            block_edges: int = BLOCK_EDGES,
                            interpret: bool | None = None):
@@ -645,6 +660,8 @@ def edge_softmax_aggregate(alpha, m, edge_dst, num_nodes, *, edge_mask=None,
     path). Requirements: edges sorted by ``edge_dst``; a False-suffix
     ``edge_mask`` (padding at the end — the batch builder's layout).
     Scalar attention (F == 1) and tiny feature dims fall back to XLA.
+    ``offn``: optional host-precomputed unclamped CSR pointers over
+    ``edge_dst`` (see :func:`edge_softmax_aggregate_flat`).
     """
     if interpret is None:
         # off-TPU (tests, dryruns on the virtual CPU mesh) the kernel runs in
@@ -672,6 +689,8 @@ def edge_softmax_aggregate(alpha, m, edge_dst, num_nodes, *, edge_mask=None,
         m2 = jnp.pad(m2, ((0, extra), (0, 0)))
         dst2 = jnp.pad(dst2, ((0, extra), (0, 0)),
                        constant_values=num_nodes - 1)
-    out = _edge_softmax_aggregate(alpha2, m2, dst2, n_real, num_nodes,
+    hoffn = (offn.astype(jnp.int32) if offn is not None
+             else jnp.zeros((0,), jnp.int32))
+    out = _edge_softmax_aggregate(alpha2, m2, dst2, hoffn, n_real, num_nodes,
                                   block_nodes, be, interpret)
     return out.reshape(num_nodes, h, f).astype(alpha.dtype)

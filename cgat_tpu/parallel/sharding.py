@@ -29,6 +29,10 @@ _NODE_FIELDS = ("nodes", "node_mask", "node2graph")
 # LOCAL-src blocks)
 _HALO_FIELDS = ("halo_src", "halo_dst", "halo_shell", "halo_mask",
                 "halo_src_ext", "halo_send_idx")
+# host-precomputed CSR pointer arrays (+ pre-sorted src ids): shipped only
+# by single-shard collates, like edge_src_perm
+_OFFN_FIELDS = ("edge_dst_offn", "edge_src_offn", "edge_src_sorted",
+                "node2graph_offn")
 
 
 def stack_batches(batches) -> CrystalBatch:
@@ -48,9 +52,9 @@ def batch_pspecs(edge_sharded: bool = True) -> CrystalBatch:
     def spec_for(name):
         if name in _HALO_FIELDS:
             return None
-        if name == "edge_src_perm":
-            # collate ships it only for single-shard layouts (the fast
-            # gather backward); None under edge sharding
+        if name == "edge_src_perm" or name in _OFFN_FIELDS:
+            # collate ships these only for single-shard layouts (the fast
+            # gather backward / host CSR pointers); None under edge sharding
             return None if edge_sharded else P("dp")
         if edge_sharded and name in _EDGE_FIELDS:
             return P("dp", "edge")
@@ -72,6 +76,9 @@ def shardmap_batch_pspecs(edge_sharded: bool = True) -> CrystalBatch:
             # values (data/batching.py), so it shards over `edge` like the
             # local edge block it permutes
             return P("dp", "edge") if edge_sharded else P("dp")
+        if name in _OFFN_FIELDS:
+            # single-shard collates only (None on edge-sharded layouts)
+            return None if edge_sharded else P("dp")
         if edge_sharded and name in _EDGE_FIELDS + _NODE_FIELDS:
             return P("dp", "edge")
         return P("dp")

@@ -348,14 +348,16 @@ def measure_kernels(batch_size: int = 64, iters: int = 20, trials: int = 0):
                for k in range(K)]
         ins = jax.tree.map(jnp.asarray, ins)
 
+        no_hoffn = jnp.zeros((0,), jnp.int32)
+
         @jax.jit
         def fwd_many(ins):
-            return [_fwd_impl(a, mm, dst2, n_real_t, num_nodes, 128, 768,
-                              False)[0] for a, mm in ins]
+            return [_fwd_impl(a, mm, dst2, no_hoffn, n_real_t, num_nodes,
+                              128, 768, False)[0] for a, mm in ins]
 
         out_b, maxv_b, den_b, offn_b = jax.jit(
-            lambda a, mm: _fwd_impl(a, mm, dst2, n_real_t, num_nodes, 128,
-                                    768, False))(alpha2, m2)
+            lambda a, mm: _fwd_impl(a, mm, dst2, no_hoffn, n_real_t,
+                                    num_nodes, 128, 768, False))(alpha2, m2)
         q_b = (2.0 * out_b) / (den_b + EPS)
 
         @jax.jit
