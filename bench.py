@@ -119,7 +119,10 @@ def build(batch_size: int = 64, compute_dtype: str = "bfloat16",
     # where executing the init program slows all later steps ~20x
     from cgat_tpu.models.host_init import init_params_host
     params = jax.tree.map(jnp.asarray, init_params_host(model, batch, seed=0))
-    tcfg = TrainerConfig(optim="AdamW", learning_rate=1.25e-4)
+    # production optimizer config: bf16 first moment under bf16 compute
+    # (matches the CLI's "auto" mapping; -0.39 ms/step, HBM-bound apply)
+    tcfg = TrainerConfig(optim="AdamW", learning_rate=1.25e-4,
+                         moment_dtype=compute_dtype)
     tx = make_optimizer(tcfg)
     state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
                        opt_state=tx.init(params))

@@ -107,6 +107,11 @@ def add_model_args(p: argparse.ArgumentParser):
     # users opt in explicitly.
     p.add_argument("--precision", choices=["float32", "bfloat16"],
                    default="bfloat16")
+    # "auto": bf16 first moment under the bf16 production profile, f32
+    # under --precision float32 (exact reference AdamW). See
+    # TrainerConfig.moment_dtype for the numerics argument.
+    p.add_argument("--moment-dtype",
+                   choices=["auto", "float32", "bfloat16"], default="auto")
     return p
 
 
@@ -171,6 +176,9 @@ def configs_from_args(args) -> tuple[TrainerConfig, CGATConfig]:
         profile_epoch=args.profile_epoch,
         steps_per_dispatch=getattr(args, "steps_per_dispatch", 1),
         streaming=getattr(args, "streaming", False),
+        moment_dtype=(args.precision
+                      if getattr(args, "moment_dtype", "auto") == "auto"
+                      else args.moment_dtype),
     )
     mcfg = CGATConfig(
         orig_elem_fea_len=200, elem_fea_len=args.atom_fea_len,

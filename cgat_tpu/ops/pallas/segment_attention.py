@@ -179,9 +179,13 @@ def _fwd_kernel(off_ref, alpha_hbm, m_hbm, lo_ref, hi_ref,
 
     jax.lax.fori_loop(0, nchunks, body, 0)
     den = acc_den[:]
-    out_ref[:] = acc_num[:] / (den + EPS)
-    den_ref[:] = den
-    max_ref[:] = jnp.broadcast_to(run_max[0:1, :], (bn, hf))
+    # outputs store in the op's io dtype (bf16 in bf16 compute mode —
+    # halves the f32 output writes and the backward's [q|max|out] staging;
+    # the bwd math upcast these to bf16 anyway). f32 mode is unchanged.
+    out_ref[:] = (acc_num[:] / (den + EPS)).astype(out_ref.dtype)
+    den_ref[:] = den.astype(den_ref.dtype)
+    max_ref[:] = jnp.broadcast_to(run_max[0:1, :], (bn, hf)
+                                  ).astype(max_ref.dtype)
 
 
 def _bwd_kernel(meta_ref, alpha_ref, m_ref, lo_ref, hi_ref, nodecat_hbm,
@@ -320,10 +324,12 @@ def _fwd_impl(alpha2, m2, dst2, hoffn, n_real, num_nodes, bn, be, interpret):
     )
     kernel = functools.partial(_fwd_kernel, bn=bn, be=be, hf=hf,
                                e_hbm=alpha2.shape[0])
+    io_dtype = (jnp.bfloat16 if alpha2.dtype == jnp.bfloat16
+                else jnp.float32)
     out, maxv, den = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((n_pad, hf), jnp.float32)] * 3,
+        out_shape=[jax.ShapeDtypeStruct((n_pad, hf), io_dtype)] * 3,
         interpret=interpret,
         name="seg_attn_fwd",
     )(offsets, alpha2, m2, lo, hi)
@@ -339,8 +345,9 @@ def _vjp_fwd(alpha2, m2, dst2, hoffn, n_real, num_nodes, bn, be, interpret):
 def _vjp_bwd(num_nodes, bn, be, interpret, res, g):
     alpha2, m2, dst2, n_real, maxv, den, out, offn = res
     # fold the cotangent and the softmax denominator into one term (see
-    # _bwd_call): q = g / (den + eps)
-    dalpha, dm = _bwd_call(alpha2, m2, dst2, n_real, g / (den + EPS), maxv,
+    # _bwd_call): q = g / (den + eps), in f32 whatever the io dtype
+    q = g.astype(jnp.float32) / (den.astype(jnp.float32) + EPS)
+    dalpha, dm = _bwd_call(alpha2, m2, dst2, n_real, q, maxv,
                            out, offn, num_nodes, be, interpret)
     return dalpha, dm, None, None, None
 
@@ -421,6 +428,15 @@ def _bwd_call(alpha2, m2, dst2, n_real, q, maxv, out, offn, num_nodes, be,
         [q.astype(io_dtype), maxv.astype(io_dtype),
          out.astype(io_dtype)], axis=1)                       # (N, 3*HF)
     nodecat = jnp.pad(nodecat, ((0, span), (0, 0)))
+    # consecutive blocks' node windows overlap almost entirely (a BE-edge
+    # block advances ~BE/degree node ids), so per-block HBM window DMAs
+    # re-read the same rows ~span/(BE/degree) times (~41 MB issued vs 3.4 MB
+    # distinct per flagship call, round-5 trace). When the whole [q|max|out]
+    # array fits a conservative VMEM budget, make it VMEM-resident — Pallas
+    # stages it HBM->VMEM once and the per-block window copies become
+    # VMEM->VMEM. Same kernel body either way.
+    nodecat_vmem = (nodecat.shape[0] * 3 * hf
+                    * jnp.dtype(io_dtype).itemsize) <= 8 * 2 ** 20
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -432,7 +448,8 @@ def _bwd_call(alpha2, m2, dst2, n_real, q, maxv, out, offn, num_nodes, be,
                          memory_space=pltpu.VMEM),      # m
             pl.BlockSpec(memory_space=pltpu.VMEM),      # lo windows (whole)
             pl.BlockSpec(memory_space=pltpu.VMEM),      # hi windows (whole)
-            pl.BlockSpec(memory_space=pl.ANY),          # [q|max|out]
+            pl.BlockSpec(memory_space=(pltpu.VMEM if nodecat_vmem
+                                       else pl.ANY)),   # [q|max|out]
         ],
         out_specs=[
             pl.BlockSpec((be, hf), lambda j, meta: (j, 0),
@@ -480,6 +497,10 @@ def _pair_fwd_impl(al, ml, dl, nl, ah, mh_, dh, nh, num_nodes, bn, be_l,
                                             num_nodes, bn, be_l, interpret)
     out_h, max_h, den_h, offn_h = _fwd_impl(ah, mh_, dh, no_hoffn, nh,
                                             num_nodes, bn, be_h, interpret)
+    # merge in f32 whatever the kernel's io dtype (bf16 in bf16 mode)
+    out_l, max_l, den_l, out_h, max_h, den_h = (
+        x.astype(jnp.float32)
+        for x in (out_l, max_l, den_l, out_h, max_h, den_h))
     gmax = jnp.maximum(max_l, max_h)
     sl = jnp.exp(max_l - gmax)
     sh = jnp.exp(max_h - gmax)

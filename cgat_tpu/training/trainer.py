@@ -67,6 +67,15 @@ class TrainerConfig:
     learning_rate: float = 0.000125
     momentum: float = 0.9
     weight_decay: float = 1e-6
+    # dtype of Adam/AdamW's FIRST moment (m). bf16 halves its HBM traffic
+    # (the optimizer apply is HBM-bound at 28 B/param — measured -0.39
+    # ms/step on v5e, docs/PERFORMANCE.md round 5) and is numerically safe:
+    # with b1=0.9 each update moves m by ~10% relative, far above bf16's
+    # 2^-8 resolution. The SECOND moment stays f32 always — b2=0.999 means
+    # ~1e-3 relative increments that bf16 rounding would silently drop,
+    # freezing v. Default f32 = exact reference AdamW semantics; the CLI
+    # production profile (bf16 compute) opts in (cli/common.py).
+    moment_dtype: str = "float32"
     loss: str = "L1"                # L1 | L2
     robust_loss: bool = False       # reference --std-loss inverted default
     clr: bool = True
@@ -115,6 +124,9 @@ class TrainState(struct.PyTreeNode):
 
 def make_optimizer(cfg: TrainerConfig, params=None):
     """Build the optax chain matching lightning_module.py:306-355."""
+    mu_dtype = (jnp.bfloat16 if cfg.moment_dtype == "bfloat16"
+                else jnp.float32)
+
     def base(learning_rate):
         if cfg.optim == "SGD":
             sgd = optax.sgd(learning_rate, momentum=cfg.momentum)
@@ -124,9 +136,10 @@ def make_optimizer(cfg: TrainerConfig, params=None):
                                sgd)
         if cfg.optim == "Adam":
             return optax.chain(optax.add_decayed_weights(cfg.weight_decay),
-                               optax.adam(learning_rate))
+                               optax.adam(learning_rate, mu_dtype=mu_dtype))
         if cfg.optim == "AdamW":
-            return optax.adamw(learning_rate, weight_decay=cfg.weight_decay)
+            return optax.adamw(learning_rate, weight_decay=cfg.weight_decay,
+                               mu_dtype=mu_dtype)
         if cfg.optim == "LAMB":
             return lamb(learning_rate, weight_decay=cfg.weight_decay)
         raise NameError("Only SGD, Adam, AdamW, LAMB are allowed as optim")

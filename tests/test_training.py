@@ -342,3 +342,33 @@ def test_average_meter_and_normalizer():
     np.testing.assert_allclose(n.denorm(n.norm(vals)), vals, rtol=1e-12)
     n2 = Normalizer(); n2.load_state_dict(n.state_dict())
     assert n2.mean == n.mean and n2.std == n.std
+
+
+def test_bf16_first_moment_tracks_f32_trajectory(tmp_path):
+    """moment_dtype="bfloat16" (the production profile's AdamW first
+    moment) must track the f32-moment loss trajectory closely — the knob
+    halves the m-state HBM traffic (-0.39 ms/step on v5e) and may not
+    change optimisation behaviour. The second moment stays f32 by design
+    (b2=0.999 increments are below bf16 resolution)."""
+    from cgat_tpu.training.trainer import make_train_step
+
+    losses = {}
+    for md in ("float32", "bfloat16"):
+        trainer, _ = make_trainer(ckpt_dir=str(tmp_path / md),
+                                  moment_dtype=md)
+        state = trainer.init_state()
+        step = make_train_step(trainer.model, trainer.tx, trainer.criterion,
+                               trainer.mean, trainer.std, donate=False)
+        batch = trainer._example_batch()
+        curve = []
+        for _ in range(25):
+            state, m = step(state, batch)
+            curve.append(float(m["loss"]))
+        losses[md] = curve
+        # the bf16-m state really is bf16
+        mus = [x for x in jax.tree.leaves(state.opt_state)
+               if hasattr(x, "dtype") and x.dtype == jnp.bfloat16]
+        assert (len(mus) > 0) == (md == "bfloat16")
+    f32, bf16 = np.asarray(losses["float32"]), np.asarray(losses["bfloat16"])
+    assert bf16[-1] < f32[0] * 0.7          # it trains
+    np.testing.assert_allclose(bf16, f32, rtol=0.05, atol=0.02)
