@@ -85,20 +85,31 @@ class CrystalBatch:
     # values in [0, cap)) — exactly what each shard_map cell needs for its
     # local gather backward; meaningless to index with globally.
     edge_src_perm: jnp.ndarray | None = None  # i32 (E,)
-    # Host-precomputed UNCLAMPED CSR row pointers (single-shard collates
-    # only): offn[k] = first position in the sorted id array with id >= k.
-    # The device consumers (the segment-attention wrapper and the gather
+    # Host-precomputed UNCLAMPED CSR row pointers:
+    # offn[k] = first position in the sorted id array with id >= k. The
+    # device consumers (the segment-attention wrappers and the gather
     # plans) slice the prefix they need and clamp by the real-row count —
-    # removing every per-step ``jnp.searchsorted`` (three 14-iteration
+    # removing every per-step ``jnp.searchsorted`` (14-iteration
     # binary-search while-loops XLA cannot CSE away, ~0.5 ms/step at
     # flagship dims, round-5 trace). Lengths carry OFFN_MARGIN slack past
     # the segment count so any kernel block policy's backward window fits.
-    edge_dst_offn: jnp.ndarray | None = None    # i32 (N + margin + 1,)
-    edge_src_offn: jnp.ndarray | None = None    # i32 (N + margin + 1,)
-    # edge_src pre-sorted ascending (== edge_src[edge_src_perm]; saves the
-    # per-step gather that builds it on device)
+    # Layout depends on the collate mode, mirroring ``edge_src_perm``:
+    # single-shard collates ship GLOBAL arrays (L = N + margin + 1);
+    # edge-sharded collates ship PER-SHARD arrays over BLOCK-LOCAL ids,
+    # shard-major flat (S * L rows, L = N/S + margin + 1) so a shard_map
+    # cell's slice is exactly its local block's pointers.
+    edge_dst_offn: jnp.ndarray | None = None    # i32 (L,) | (S*L,)
+    edge_src_offn: jnp.ndarray | None = None    # i32 (L,) | (S*L,)
+    # edge_src pre-sorted ascending (== edge_src[edge_src_perm], block-local
+    # values per shard under edge sharding; saves the per-step device
+    # sort-gather)
     edge_src_sorted: jnp.ndarray | None = None  # i32 (E,)
+    # single-shard collates only (the sharded pool completes the softmax
+    # with collectives instead)
     node2graph_offn: jnp.ndarray | None = None  # i32 (C + margin + 1,)
+    # per-shard pointers over the HALO block's (block-local) destinations;
+    # edge-sharded collates only
+    halo_dst_offn: jnp.ndarray | None = None    # i32 (S*L,)
 
     @property
     def num_node_slots(self) -> int:
@@ -419,13 +430,40 @@ def collate(graphs: Sequence[CrystalGraph],
             blk = slice(s * cap, (s + 1) * cap)
             src_perm[blk] = np.argsort(edge_src[blk],
                                        kind="stable").astype(np.int32)
+        # per-shard host CSR pointers over BLOCK-LOCAL ids (shard-major
+        # flat, so a shard_map cell's `edge`-axis slice is its own block's
+        # pointers) — the in-cell production kernels then run with zero
+        # per-step searchsorted, same as the single-chip step
+        L = n_loc + OFFN_MARGIN + 1
+        dst_offn = np.empty((S * L,), np.int32)
+        src_offn = np.empty((S * L,), np.int32)
+        src_sorted = np.empty((E,), np.int32)
+        halo_offn = np.empty((S * L,), np.int32)
+        for s in range(S):
+            blk = slice(s * cap, (s + 1) * cap)
+            row = slice(s * L, (s + 1) * L)
+            dst_offn[row] = host_offsets(
+                edge_dst[blk].astype(np.int64) - s * n_loc,
+                n_loc + OFFN_MARGIN)
+            ss = (edge_src[blk][src_perm[blk]].astype(np.int64)
+                  - s * n_loc).astype(np.int32)
+            src_sorted[blk] = ss
+            src_offn[row] = host_offsets(ss, n_loc + OFFN_MARGIN)
+            hblk = slice(s * cap_h, (s + 1) * cap_h)
+            halo_offn[row] = host_offsets(
+                halo_dst[hblk].astype(np.int64) - s * n_loc,
+                n_loc + OFFN_MARGIN)
+        offsets = dict(edge_dst_offn=jnp.asarray(dst_offn),
+                       edge_src_offn=jnp.asarray(src_offn),
+                       edge_src_sorted=jnp.asarray(src_sorted))
         halo = dict(
             halo_src=jnp.asarray(halo_src),
             halo_dst=jnp.asarray(halo_dst),
             halo_shell=jnp.asarray(halo_shell),
             halo_mask=jnp.asarray(halo_mask),
             halo_src_ext=jnp.asarray(halo_src_ext),
-            halo_send_idx=jnp.asarray(halo_send_idx))
+            halo_send_idx=jnp.asarray(halo_send_idx),
+            halo_dst_offn=jnp.asarray(halo_offn))
     else:
         edge_src = np.full((E,), N - 1, np.int32)
         edge_dst = np.full((E,), N - 1, np.int32)
@@ -438,7 +476,6 @@ def collate(graphs: Sequence[CrystalGraph],
 
     if halo:
         src_perm_full = src_perm
-        offsets = {}
     else:
         src_perm_full = np.argsort(edge_src, kind="stable").astype(np.int32)
         # host-precomputed CSR pointers for the step's segment ops (see the

@@ -114,7 +114,7 @@ class GATConvNodes(nn.Module):
     @nn.compact
     def __call__(self, x, edge_src, edge_dst, edge_attr, x_0, edge_mask,
                  *, deterministic=True, halo=None, src_perm=None,
-                 gather_plans=None, dst_offn=None):
+                 gather_plans=None, dst_offn=None, halo_dst_offn=None):
         """Edge-sharded mode (``halo`` is not None — inside a ``shard_map``
         over an edge axis, or a single-device view of the same layout):
         ``x``/``x_0`` are the LOCAL node slice, the primary edge args the
@@ -210,7 +210,8 @@ class GATConvNodes(nn.Module):
                     aggr2 = edge_softmax_aggregate_pair_flat(
                         alpha2, m2, dst_l, edge_mask,
                         alpha_h.reshape(e_h, -1), m_h.reshape(e_h, -1),
-                        dst_h, mask_h, num_nodes)         # (N, H*F)
+                        dst_h, mask_h, num_nodes,
+                        offn_l=dst_offn, offn_h=halo_dst_offn)  # (N, H*F)
                 aggr = sum(aggr2[:, k * c_:(k + 1) * c_].astype(jnp.float32)
                            for k in range(self.heads)) / self.heads
                 aggr = aggr.astype(aggr2.dtype)
@@ -245,7 +246,8 @@ class GATConvNodes(nn.Module):
             else:
                 aggr = edge_softmax_aggregate_pair(
                     alpha, m, dst_l, edge_mask, alpha_h, m_h, dst_h, mask_h,
-                    num_nodes, backend=self.pair_backend)
+                    num_nodes, offn_l=dst_offn, offn_h=halo_dst_offn,
+                    backend=self.pair_backend)
         elif self.dropout > 0.0 and not deterministic:
             w = segment_softmax(alpha, dst_l, num_nodes, mask=edge_mask)
             w = nn.Dropout(self.dropout, deterministic=False)(w)
@@ -463,15 +465,20 @@ class CGAtNet(nn.Module):
                         offn=batch.node2graph_offn)
             elif edge_axis is not None:
                 # inside a shard_map cell: LOCAL indices against the local
-                # node slice; the edge-sharded collate's per-shard perm
-                # carries block-local values (data/batching.py), so each
-                # cell permutes its own local block. Third plan: the halo
-                # block's (sorted) destination gather.
+                # node slice; the edge-sharded collate's per-shard perm /
+                # sorted src / CSR pointers carry block-local values
+                # (data/batching.py), so each cell consumes exactly its
+                # `edge`-axis slice of them. Third plan: the halo block's
+                # (sorted) destination gather.
                 gather_plans = (
-                    GatherPlan.build(dst_idx, n_slots),
+                    GatherPlan.build(dst_idx, n_slots,
+                                     offn=batch.edge_dst_offn),
                     GatherPlan.build(src_idx, n_slots,
-                                     perm=batch.edge_src_perm),
-                    GatherPlan.build(dst_h, n_slots))
+                                     perm=batch.edge_src_perm,
+                                     sidx=batch.edge_src_sorted,
+                                     offn=batch.edge_src_offn),
+                    GatherPlan.build(dst_h, n_slots,
+                                     offn=batch.halo_dst_offn))
 
         from .blocks import MatmulEmbed
         nbr_embed = MatmulEmbed(cfg.neighbor_number + 1,
@@ -523,7 +530,14 @@ class CGAtNet(nn.Module):
                 elem_fea_0, batch.edge_mask, deterministic=deterministic,
                 halo=halo_n, src_perm=batch.edge_src_perm,
                 gather_plans=gather_plans,
-                dst_offn=None if halo_mode else batch.edge_dst_offn)
+                # per-cell block-local pointers under shard_map; the
+                # single-device consumption of a sharded layout (edge_axis
+                # None but halo_mode) has no usable offsets
+                dst_offn=(batch.edge_dst_offn
+                          if not halo_mode or edge_axis is not None
+                          else None),
+                halo_dst_offn=(batch.halo_dst_offn
+                               if edge_axis is not None else None))
             if cfg.update_edges:
                 el = edge_layer(i)
                 edge_attr = edge_attr + el(

@@ -63,7 +63,7 @@ def edge_softmax_aggregate(alpha, m, edge_dst, num_nodes, *, edge_mask=None,
 
 def edge_softmax_aggregate_pair(alpha_l, m_l, dst_l, mask_l,
                                 alpha_h, m_h, dst_h, mask_h, num_nodes, *,
-                                backend=None):
+                                offn_l=None, offn_h=None, backend=None):
     """Fused aggregation over a LOCAL-src + HALO-src edge block pair.
 
     Mathematically identical to :func:`edge_softmax_aggregate` on the
@@ -78,7 +78,8 @@ def edge_softmax_aggregate_pair(alpha_l, m_l, dst_l, mask_l,
     if backend == "pallas":
         from .pallas import edge_softmax_aggregate_pair as _pallas_impl
         return _pallas_impl(alpha_l, m_l, dst_l, mask_l,
-                            alpha_h, m_h, dst_h, mask_h, num_nodes)
+                            alpha_h, m_h, dst_h, mask_h, num_nodes,
+                            offn_l=offn_l, offn_h=offn_h)
     w_l, w_h = seg.segment_softmax_pair(alpha_l, dst_l, mask_l,
                                         alpha_h, dst_h, mask_h, num_nodes)
     agg_l = seg.segment_sum(

@@ -490,12 +490,11 @@ _edge_softmax_aggregate.defvjp(_vjp_fwd, _vjp_bwd)
 # because the backward formula holds for any shift the denominator used.
 
 
-def _pair_fwd_impl(al, ml, dl, nl, ah, mh_, dh, nh, num_nodes, bn, be_l,
-                   be_h, interpret):
-    no_hoffn = jnp.zeros((0,), jnp.int32)
-    out_l, max_l, den_l, offn_l = _fwd_impl(al, ml, dl, no_hoffn, nl,
+def _pair_fwd_impl(al, ml, dl, nl, ah, mh_, dh, nh, hoffn_l, hoffn_h,
+                   num_nodes, bn, be_l, be_h, interpret):
+    out_l, max_l, den_l, offn_l = _fwd_impl(al, ml, dl, hoffn_l, nl,
                                             num_nodes, bn, be_l, interpret)
-    out_h, max_h, den_h, offn_h = _fwd_impl(ah, mh_, dh, no_hoffn, nh,
+    out_h, max_h, den_h, offn_h = _fwd_impl(ah, mh_, dh, hoffn_h, nh,
                                             num_nodes, bn, be_h, interpret)
     # merge in f32 whatever the kernel's io dtype (bf16 in bf16 mode)
     out_l, max_l, den_l, out_h, max_h, den_h = (
@@ -512,25 +511,27 @@ def _pair_fwd_impl(al, ml, dl, nl, ah, mh_, dh, nh, num_nodes, bn, be_l,
     return out, gmax, den, offn_l, offn_h
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12))
-def _pair_aggregate(al, ml, dl, nl, ah, mh_, dh, nh, num_nodes, bn, be_l,
-                    be_h, interpret):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(10, 11, 12, 13, 14))
+def _pair_aggregate(al, ml, dl, nl, ah, mh_, dh, nh, hoffn_l, hoffn_h,
+                    num_nodes, bn, be_l, be_h, interpret):
     out, _, _, _, _ = _pair_fwd_impl(al, ml, dl, nl, ah, mh_, dh, nh,
-                                     num_nodes, bn, be_l, be_h, interpret)
+                                     hoffn_l, hoffn_h, num_nodes, bn, be_l,
+                                     be_h, interpret)
     return out
 
 
-def _pair_vjp_fwd(al, ml, dl, nl, ah, mh_, dh, nh, num_nodes, bn, be_l,
-                  be_h, interpret):
+def _pair_vjp_fwd(al, ml, dl, nl, ah, mh_, dh, nh, hoffn_l, hoffn_h,
+                  num_nodes, bn, be_l, be_h, interpret):
     out, gmax, den, offn_l, offn_h = _pair_fwd_impl(
-        al, ml, dl, nl, ah, mh_, dh, nh, num_nodes, bn, be_l, be_h, interpret)
+        al, ml, dl, nl, ah, mh_, dh, nh, hoffn_l, hoffn_h, num_nodes, bn,
+        be_l, be_h, interpret)
     return out, (al, ml, dl, nl, ah, mh_, dh, nh, gmax, den, out,
                  offn_l, offn_h)
 
 
 def _pair_vjp_bwd(num_nodes, bn, be_l, be_h, interpret, res, g):
     al, ml, dl, nl, ah, mh_, dh, nh, gmax, den, out, offn_l, offn_h = res
-    q = g / (den + EPS)
+    q = g.astype(jnp.float32) / (den + EPS)
     # cover_all: both blocks of a sharded layout can be dst-SPARSE (halo
     # blocks touch only boundary nodes; local blocks skip nodes whose
     # in-edges are all remote), which breaks the narrow-window assumption —
@@ -539,7 +540,7 @@ def _pair_vjp_bwd(num_nodes, bn, be_l, be_h, interpret, res, g):
                          be_l, interpret, cover_all=True)
     dah, dmh = _bwd_call(ah, mh_, dh, nh, q, gmax, out, offn_h, num_nodes,
                          be_h, interpret, cover_all=True)
-    return dal, dml, None, None, dah, dmh, None, None
+    return dal, dml, None, None, dah, dmh, None, None, None, None
 
 
 _pair_aggregate.defvjp(_pair_vjp_fwd, _pair_vjp_bwd)
@@ -574,8 +575,14 @@ def _prep_block(alpha, m, edge_dst, edge_mask, num_nodes, block_edges):
                       edge_dst, edge_mask, num_nodes, block_edges)
 
 
+def _as_hoffn(offn):
+    return (offn.astype(jnp.int32) if offn is not None
+            else jnp.zeros((0,), jnp.int32))
+
+
 def edge_softmax_aggregate_pair(alpha_l, m_l, dst_l, mask_l,
                                 alpha_h, m_h, dst_h, mask_h, num_nodes, *,
+                                offn_l=None, offn_h=None,
                                 block_nodes: int = BLOCK_NODES,
                                 block_edges: int = BLOCK_EDGES,
                                 interpret: bool | None = None):
@@ -583,7 +590,10 @@ def edge_softmax_aggregate_pair(alpha_l, m_l, dst_l, mask_l,
 
     Same contract as ``cgat_tpu.ops.attention.edge_softmax_aggregate_pair``
     (XLA path). Requirements per block: dst-sorted edges, False-suffix mask
-    (the edge-sharded collate layout guarantees both per shard)."""
+    (the edge-sharded collate layout guarantees both per shard).
+    ``offn_l``/``offn_h``: optional host-precomputed unclamped CSR pointers
+    over each block's destinations (the edge-sharded collate's per-shard
+    ``edge_dst_offn`` / ``halo_dst_offn`` slices)."""
     if interpret is None:
         from .config import interpret_default
         interpret = INTERPRET or interpret_default()
@@ -597,7 +607,8 @@ def edge_softmax_aggregate_pair(alpha_l, m_l, dst_l, mask_l,
                                        num_nodes, block_edges)
     ah, mh_, dh, nh, be_h = _prep_block(alpha_h, m_h, dst_h, mask_h,
                                         num_nodes, block_edges)
-    out = _pair_aggregate(al, ml, dl, nl, ah, mh_, dh, nh, num_nodes,
+    out = _pair_aggregate(al, ml, dl, nl, ah, mh_, dh, nh,
+                          _as_hoffn(offn_l), _as_hoffn(offn_h), num_nodes,
                           block_nodes, be_l, be_h, interpret)
     return out.reshape(num_nodes, h, f).astype(alpha_l.dtype)
 
@@ -605,6 +616,7 @@ def edge_softmax_aggregate_pair(alpha_l, m_l, dst_l, mask_l,
 def edge_softmax_aggregate_pair_flat(alpha2_l, m2_l, dst_l, mask_l,
                                      alpha2_h, m2_h, dst_h, mask_h,
                                      num_nodes, *,
+                                     offn_l=None, offn_h=None,
                                      block_nodes: int = BLOCK_NODES,
                                      block_edges: int = BLOCK_EDGES,
                                      interpret: bool | None = None):
@@ -626,7 +638,8 @@ def edge_softmax_aggregate_pair_flat(alpha2_l, m2_l, dst_l, mask_l,
                                       num_nodes, block_edges)
     ah, mh_, dh, nh, be_h = _prep_flat(alpha2_h, m2_h, dst_h, mask_h,
                                        num_nodes, block_edges)
-    out = _pair_aggregate(al, ml, dl, nl, ah, mh_, dh, nh, num_nodes,
+    out = _pair_aggregate(al, ml, dl, nl, ah, mh_, dh, nh,
+                          _as_hoffn(offn_l), _as_hoffn(offn_h), num_nodes,
                           block_nodes, be_l, be_h, interpret)
     keep = alpha2_l.dtype if alpha2_l.dtype == jnp.bfloat16 else jnp.float32
     return out.astype(keep)

@@ -29,10 +29,11 @@ _NODE_FIELDS = ("nodes", "node_mask", "node2graph")
 # LOCAL-src blocks)
 _HALO_FIELDS = ("halo_src", "halo_dst", "halo_shell", "halo_mask",
                 "halo_src_ext", "halo_send_idx")
-# host-precomputed CSR pointer arrays (+ pre-sorted src ids): shipped only
-# by single-shard collates, like edge_src_perm
-_OFFN_FIELDS = ("edge_dst_offn", "edge_src_offn", "edge_src_sorted",
-                "node2graph_offn")
+# host-precomputed CSR pointer arrays (+ pre-sorted src ids). Layout
+# mirrors edge_src_perm: global arrays from single-shard collates,
+# per-shard shard-major arrays (sharded over `edge`) from edge-sharded
+# collates; halo_dst_offn and node2graph_offn exist only on one side each
+_OFFN_FIELDS = ("edge_dst_offn", "edge_src_offn", "edge_src_sorted")
 
 
 def stack_batches(batches) -> CrystalBatch:
@@ -52,10 +53,12 @@ def batch_pspecs(edge_sharded: bool = True) -> CrystalBatch:
     def spec_for(name):
         if name in _HALO_FIELDS:
             return None
-        if name == "edge_src_perm" or name in _OFFN_FIELDS:
+        if (name == "edge_src_perm" or name in _OFFN_FIELDS
+                or name in ("node2graph_offn", "halo_dst_offn")):
             # collate ships these only for single-shard layouts (the fast
             # gather backward / host CSR pointers); None under edge sharding
-            return None if edge_sharded else P("dp")
+            return None if (edge_sharded or name == "halo_dst_offn") \
+                else P("dp")
         if edge_sharded and name in _EDGE_FIELDS:
             return P("dp", "edge")
         return P("dp")
@@ -76,8 +79,14 @@ def shardmap_batch_pspecs(edge_sharded: bool = True) -> CrystalBatch:
             # values (data/batching.py), so it shards over `edge` like the
             # local edge block it permutes
             return P("dp", "edge") if edge_sharded else P("dp")
-        if name in _OFFN_FIELDS:
-            # single-shard collates only (None on edge-sharded layouts)
+        if name in _OFFN_FIELDS or name == "halo_dst_offn":
+            # edge-sharded collates ship per-shard shard-major arrays that
+            # shard over `edge` like the blocks they describe; single-shard
+            # layouts ship global arrays (halo_dst_offn absent)
+            if edge_sharded:
+                return P("dp", "edge")
+            return None if name == "halo_dst_offn" else P("dp")
+        if name == "node2graph_offn":
             return None if edge_sharded else P("dp")
         if edge_sharded and name in _EDGE_FIELDS + _NODE_FIELDS:
             return P("dp", "edge")

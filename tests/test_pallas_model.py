@@ -110,3 +110,30 @@ def test_embed_lookup_matmul_backward():
     np.testing.assert_allclose(np.asarray(vjp(g)[0]),
                                np.asarray(vjp_ref(g)[0]),
                                rtol=1e-6, atol=1e-6)
+
+
+def test_no_searchsorted_in_step_with_host_offsets(pallas_interpret):
+    """With the collate's host CSR pointers present, the traced fwd+grad
+    contains NO searchsorted (the binary-search scan XLA cannot CSE,
+    ~0.5 ms/step on v5e); stripping the pointers brings it back — proving
+    the offsets actually replace the device computation rather than
+    duplicating it."""
+    cfg = CGATConfig(orig_elem_fea_len=16, elem_fea_len=128, n_graph=1,
+                     nbr_embedding_size=16, neighbor_number=4, msg_heads=2,
+                     n_graph_roost=1, out_hidden=(16,))
+    graphs = random_graphs(2, 3, n_atoms_range=(3, 6), max_nbr=4, orig_fea=16)
+    batch = collate(graphs, max_nbr=4, node_bucket=8)
+    model = CGAtNet(cfg)
+    params = model.init(jax.random.key(0), batch)["params"]
+
+    def loss(p, b):
+        o = model.apply({"params": p}, b)
+        return jnp.mean(jnp.where(b.graph_mask,
+                                  jnp.abs(o[:, 0] - b.target), 0.0))
+
+    with_offn = str(jax.make_jaxpr(jax.grad(loss))(params, batch))
+    stripped = batch.replace(edge_dst_offn=None, edge_src_offn=None,
+                             edge_src_sorted=None, node2graph_offn=None)
+    without = str(jax.make_jaxpr(jax.grad(loss))(params, stripped))
+    assert "searchsorted" not in with_offn
+    assert "searchsorted" in without
