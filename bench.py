@@ -556,7 +556,8 @@ def previous_bench() -> dict | None:
 
 
 _THROUGHPUT_KEYS = ("value", "edges_per_sec_f32", "edges_per_sec_b128",
-                    "edges_per_sec_dense", "mfu")
+                    "edges_per_sec_dense", "mfu",
+                    "edges_per_sec_sustained", "mfu_sustained")
 
 
 def regression_deltas(result: dict, history: list) -> dict:
@@ -684,6 +685,19 @@ def main():
             extras[key] = round(measure(**kwargs)["edges_per_sec"], 1)
         except Exception:
             extras[key] = None
+    # sustained production cadence: the 20-step headline window carries one
+    # full tunnel RTT (~35 ms) in its single D2H metric read — ~1.8 ms/step
+    # of test-rig artifact, not chip time. The production trainer reads
+    # metrics once per epoch (hundreds of steps), so a longer window is the
+    # honest sustained-throughput estimate (96 steps ==> ~0.35 ms/step of
+    # residual read cost). The headline keeps the historical protocol for
+    # round-to-round continuity.
+    try:
+        rs = measure(64, steps_per_dispatch=2, n_iters=96, trials=2)
+        extras["edges_per_sec_sustained"] = round(rs["edges_per_sec"], 1)
+        extras["mfu_sustained"] = round(rs["mfu"], 4)
+    except Exception:
+        pass
 
     # Mosaic numerics certificate + per-kernel roofline (north-star
     # "speed-of-light" substantiation); both tolerate failure so a flake
