@@ -58,15 +58,22 @@ def _sig_key(num_graphs, num_node_slots):
     return f"c{num_graphs}_n{num_node_slots}"
 
 
+# training-only layout aids: the fast gather BACKWARD's permutation and
+# the host-precomputed CSR pointers (round 5). Inference has no backward,
+# and the forward's pointer fallback is one device searchsorted (~0.2 ms,
+# noise next to the serving RTT) — excluding them keeps the exported
+# signature stable whether or not the collate computed them.
+_LAYOUT_AID_FIELDS = ("edge_src_perm", "edge_dst_offn", "edge_src_offn",
+                      "edge_src_sorted", "node2graph_offn", "halo_dst_offn")
+
+
 def _batch_dict(batch):
-    """CrystalBatch -> plain dict of arrays (None fields dropped) for the
-    jax.export boundary. ``edge_src_perm`` is a training-only layout aid
-    (fast gather backward) — excluded so the serving signature is stable
-    whether or not the collate computed it."""
+    """CrystalBatch -> plain dict of arrays (None fields and training-only
+    layout aids dropped) for the jax.export boundary."""
     d = {f.name: getattr(batch, f.name)
          for f in dataclasses.fields(batch)}
     return {k: v for k, v in d.items()
-            if v is not None and k != "edge_src_perm"}
+            if v is not None and k not in _LAYOUT_AID_FIELDS}
 
 
 def _template_batch(C, N, E, R, orig_fea, dtype=np.float32):
