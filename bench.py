@@ -674,12 +674,21 @@ def main():
         r64 = measure(64, steps_per_dispatch=2)
     extras = {}
     for key, kwargs in (
+            # f32 anchor keeps its historical protocol (BENCH_BASELINE.json
+            # comparability)
             ("edges_per_sec_f32", dict(batch_size=64, compute_dtype="float32",
                                        n_iters=10, trials=2)),
-            ("edges_per_sec_b128", dict(batch_size=128, n_iters=10, trials=2)),
+            # b128/dense re-baselined in round 5 to K=2 x 24 steps: the old
+            # K=1 x 10-step window carried ~3.5 ms/step of tunnel-RTT
+            # artifact and round-to-round drift of the tunnel dominated the
+            # series (r5 measured 773.6k at the old protocol vs 1,154.3k
+            # interleaved at K=2 — docs/PERFORMANCE.md round 5)
+            ("edges_per_sec_b128", dict(batch_size=128, n_iters=24, trials=2,
+                                        steps_per_dispatch=2)),
             # real-data density: exactly 24 periodic neighbors per atom
             ("edges_per_sec_dense", dict(batch_size=64, full_degree=True,
-                                         n_iters=10, trials=2)),
+                                         n_iters=24, trials=2,
+                                         steps_per_dispatch=2)),
     ):
         try:
             extras[key] = round(measure(**kwargs)["edges_per_sec"], 1)

@@ -62,6 +62,12 @@ INTERPRET = False
 # down to where DMA issue overhead dominates.
 BWD_BLOCK_EDGES: int | None = None
 
+# VMEM-residency budget for the backward's [q|max|out] node array (whole
+# array staged HBM->VMEM once; per-block window copies become VMEM->VMEM,
+# killing the ~92%-overlap HBM re-reads). Above the budget the HBM
+# window-DMA path applies.
+NODECAT_VMEM_BYTES = 8 * 2 ** 20
+
 
 def _bwd_block(e_tot: int, be: int) -> int:
     """The backward's edge-block policy (shared so the forward can size the
@@ -436,7 +442,7 @@ def _bwd_call(alpha2, m2, dst2, n_real, q, maxv, out, offn, num_nodes, be,
     # stages it HBM->VMEM once and the per-block window copies become
     # VMEM->VMEM. Same kernel body either way.
     nodecat_vmem = (nodecat.shape[0] * 3 * hf
-                    * jnp.dtype(io_dtype).itemsize) <= 8 * 2 ** 20
+                    * jnp.dtype(io_dtype).itemsize) <= NODECAT_VMEM_BYTES
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
