@@ -674,10 +674,15 @@ def main():
         r64 = measure(64, steps_per_dispatch=2)
     extras = {}
     for key, kwargs in (
-            # f32 anchor keeps its historical protocol (BENCH_BASELINE.json
-            # comparability)
+            # f32 anchor re-baselined with the other extras in round 5: its
+            # 10-step window swung 347.2k -> 306.6k between two runs ONE
+            # HOUR apart (+-13% of pure tunnel-RTT weather, > any real
+            # drift signal the series exists to catch). vs_baseline is
+            # computed from the HEADLINE against BENCH_BASELINE.json and is
+            # unaffected by this protocol change.
             ("edges_per_sec_f32", dict(batch_size=64, compute_dtype="float32",
-                                       n_iters=10, trials=2)),
+                                       n_iters=24, trials=2,
+                                       steps_per_dispatch=2)),
             # b128/dense re-baselined in round 5 to K=2 x 24 steps: the old
             # K=1 x 10-step window carried ~3.5 ms/step of tunnel-RTT
             # artifact and round-to-round drift of the tunnel dominated the
